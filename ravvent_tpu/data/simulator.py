@@ -1,0 +1,170 @@
+"""Nanopore signal simulation and reduced-vocabulary genome generation.
+
+Replaces the reference's external DeepSimulator pipeline
+(reference: data/generate_simulator_reduced.py, data/generate_simulated_from_chiron.py)
+with a self-contained simulator so the framework ships runnable train/eval
+data: a deterministic 6-mer pore model assigns each context a current level;
+per-base dwell times (~9 samples/base, matching the reference's 8-10
+samples/base regime) and Gaussian noise produce chiron-format
+``.signal``/``.label`` reads.
+
+Genome construction mirrors the reference's reduced 6-mer-vocabulary recipe
+(data/generate_simulator_reduced.py:86-106): a genome assembled from a
+restricted set of 6-mers, so dataset difficulty scales with the number of
+distinct 6-mers appearing.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+BASES = np.array(list("ACGT"))
+KMER = 6
+
+
+class PoreModel:
+    """Deterministic 6-mer -> current-level model (seeded)."""
+
+    def __init__(self, seed: int = 1234, level_mean: float = 550.0, level_spread: float = 60.0):
+        rng = np.random.default_rng(seed)
+        self.levels = rng.normal(level_mean, level_spread, size=4**KMER)
+
+    @staticmethod
+    def kmer_ids(seq_ids: np.ndarray) -> np.ndarray:
+        """Central 6-mer id per base (sequence padded with A's at the ends)."""
+        n = len(seq_ids)
+        padded = np.concatenate((np.zeros(KMER // 2, dtype=np.int64), seq_ids,
+                                 np.zeros(KMER - 1 - KMER // 2, dtype=np.int64)))
+        ids = np.zeros(n, dtype=np.int64)
+        for k in range(KMER):
+            ids = ids * 4 + padded[k : k + n]
+        return ids
+
+    def base_levels(self, seq: str) -> np.ndarray:
+        seq_ids = encode_bases(seq)
+        return self.levels[self.kmer_ids(seq_ids)]
+
+
+def encode_bases(seq: str) -> np.ndarray:
+    lut = np.full(128, -1, dtype=np.int64)
+    for i, b in enumerate("ACGT"):
+        lut[ord(b)] = i
+        lut[ord(b.lower())] = i
+    ids = lut[np.frombuffer(seq.upper().encode(), dtype=np.uint8)]
+    if (ids < 0).any():
+        raise ValueError("non-ACGT base in sequence")
+    return ids
+
+
+def simulate_read(
+    seq: str,
+    rng: np.random.Generator,
+    pore: PoreModel,
+    dwell_mean: float = 9.0,
+    dwell_min: int = 4,
+    dwell_max: int = 40,
+    noise_std: float = 9.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Simulate raw signal for ``seq``.
+
+    Returns (signal int array, ranges [len(seq), 2]) where ranges are the
+    chiron label [start, end) raw-sample spans per base.
+    """
+    n = len(seq)
+    levels = pore.base_levels(seq)
+    dwells = np.clip(
+        np.round(rng.exponential(dwell_mean - dwell_min, n) + dwell_min),
+        dwell_min,
+        dwell_max,
+    ).astype(np.int64)
+    ends = np.cumsum(dwells)
+    starts = ends - dwells
+    signal = np.repeat(levels, dwells) + rng.normal(0.0, noise_std, int(ends[-1]))
+    return np.round(signal).astype(np.int64), np.column_stack((starts, ends))
+
+
+def generate_reduced_genome(
+    n_base_kmers: int, length: int, rng: np.random.Generator
+) -> str:
+    """Genome from a restricted 6-mer vocabulary
+    (reference: data/generate_simulator_reduced.py:86-106)."""
+    kmers = set()
+    while len(kmers) < n_base_kmers:
+        kmers.add("".join(rng.choice(BASES, KMER)))
+    kmer_list = sorted(kmers)
+    n_chunks = length // KMER
+    picks = rng.integers(0, len(kmer_list), n_chunks)
+    return "".join(kmer_list[i] for i in picks)
+
+
+def random_genome(length: int, rng: np.random.Generator) -> str:
+    return "".join(rng.choice(BASES, length))
+
+
+def write_fasta(path, name: str, seq: str) -> None:
+    with open(path, "wt") as f:
+        f.write(f">{name}\n")
+        for i in range(0, len(seq), 80):
+            f.write(seq[i : i + 80] + "\n")
+
+
+def read_fasta(path) -> List[Tuple[str, str]]:
+    out, name, chunks = [], None, []
+    with open(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None:
+                    out.append((name, "".join(chunks)))
+                name, chunks = line[1:], []
+            elif line:
+                chunks.append(line)
+    if name is not None:
+        out.append((name, "".join(chunks)))
+    return out
+
+
+def generate_chiron_dataset(
+    out_dir,
+    genome: str,
+    n_reads: int,
+    read_len_range: Tuple[int, int] = (2000, 6000),
+    seed: int = 0,
+    pore_seed: int = 1234,
+    noise_std: float = 9.0,
+    prefix: str = "read",
+) -> List[Tuple[Path, Path]]:
+    """Sample reads from ``genome`` and write chiron ``.signal``/``.label``
+    pairs (the format the whole pipeline consumes,
+    reference: data/generate_simulated_from_chiron.py:43-73)."""
+    from ravvent_tpu.data import chiron
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    pore = PoreModel(seed=pore_seed)
+    pairs = []
+    for r in range(n_reads):
+        rl = int(rng.integers(read_len_range[0], read_len_range[1] + 1))
+        start = int(rng.integers(0, max(1, len(genome) - rl)))
+        seq = genome[start : start + rl]
+        signal, ranges = simulate_read(seq, rng, pore, noise_std=noise_std)
+        sp = out / f"{prefix}_{r:04d}.signal"
+        lp = out / f"{prefix}_{r:04d}.label"
+        chiron.write_read(sp, lp, signal, ranges, seq)
+        pairs.append((sp, lp))
+    meta = {
+        "genome_len": len(genome),
+        "n_reads": n_reads,
+        "read_len_range": list(read_len_range),
+        "seed": seed,
+        "pore_seed": pore_seed,
+        "noise_std": noise_std,
+    }
+    with open(out / "dataset_meta.json", "wt") as f:
+        json.dump(meta, f, indent=2)
+    return pairs

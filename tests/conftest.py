@@ -1,0 +1,16 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via
+``xla_force_host_platform_device_count`` (SURVEY.md §4: the reference has no
+cluster-free distributed testing pattern; this is ours).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
