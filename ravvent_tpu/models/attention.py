@@ -1,0 +1,84 @@
+"""Luong and Bahdanau attention with tfa-compatible semantics.
+
+Rebuild of the tfa attention mechanisms as used by the reference decoder
+(reference: basecaller.py:109-134 building ``tfa.seq2seq.LuongAttention`` /
+``BahdanauAttention`` with ``memory=None`` + later ``setup_memory``):
+
+- memory values are zeroed at masked positions before the key projection
+  (tfa ``_prepare_memory``);
+- Luong: ``keys = values @ W_mem`` (no bias); ``score = q . keys``;
+- Bahdanau: ``score = sum(v * tanh(W_q q + keys))`` (non-normalized form);
+- probabilities: softmax over scores with masked positions at -inf;
+- context: probability-weighted sum of the (zeroed) values.
+
+``setup_memory`` is a pure precomputation returning an :class:`AttnMemory`
+carried through the decode loop — the TPU-friendly analogue of tfa's
+stateful ``attention_mechanism.setup_memory`` (reference: basecaller.py:237).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ravvent_tpu.models.rnn import glorot_uniform
+
+Params = Dict[str, Any]
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+class AttnMemory(NamedTuple):
+    keys: jnp.ndarray  # [B, S, units]
+    values: jnp.ndarray  # [B, S, memory_dim] (masked positions zeroed)
+    mask: jnp.ndarray  # [B, S] bool
+
+
+def init_attention(
+    key, attention_type: str, units: int, memory_dim: int, query_dim: int
+) -> Params:
+    if attention_type == "luong":
+        # tfa LuongAttention: memory_layer Dense(units, use_bias=False);
+        # query dim must equal units (cell output).
+        return {"memory_kernel": glorot_uniform(key, (memory_dim, units))}
+    if attention_type == "bahdanau":
+        k1, k2, k3 = jax.random.split(key, 3)
+        limit = jnp.sqrt(6.0 / (units + units))
+        return {
+            "memory_kernel": glorot_uniform(k1, (memory_dim, units)),
+            "query_kernel": glorot_uniform(k2, (query_dim, units)),
+            "attention_v": jax.random.uniform(k3, (units,), minval=-limit, maxval=limit),
+        }
+    raise ValueError(f"unknown attention_type {attention_type}")
+
+
+def setup_memory(params: Params, memory: jnp.ndarray, mask: jnp.ndarray) -> AttnMemory:
+    """Precompute keys from (masked) memory. ``memory``: [B, S, memory_dim],
+    ``mask``: [B, S] bool."""
+    values = jnp.where(mask[..., None], memory, 0.0)
+    keys = values @ params["memory_kernel"]
+    return AttnMemory(keys=keys, values=values, mask=mask)
+
+
+def attention_scores(
+    params: Params, attention_type: str, query: jnp.ndarray, mem: AttnMemory
+) -> jnp.ndarray:
+    """Raw scores [B, S] for query [B, q_dim]."""
+    if attention_type == "luong":
+        return jnp.einsum("bu,bsu->bs", query, mem.keys)
+    # bahdanau (non-normalized): sum(v * tanh(W_q q + keys))
+    q = query @ params["query_kernel"]
+    return jnp.einsum("u,bsu->bs", params["attention_v"], jnp.tanh(q[:, None, :] + mem.keys))
+
+
+def attend(
+    params: Params, attention_type: str, query: jnp.ndarray, mem: AttnMemory
+):
+    """Returns (context [B, memory_dim], alignments [B, S])."""
+    scores = attention_scores(params, attention_type, query, mem)
+    scores = jnp.where(mem.mask, scores, NEG_INF)
+    align = jax.nn.softmax(scores, axis=-1)
+    context = jnp.einsum("bs,bse->be", align, mem.values)
+    return context, align

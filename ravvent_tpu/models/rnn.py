@@ -1,0 +1,221 @@
+"""Recurrent cells and scan-based (bi)directional stacked encoders.
+
+TPU-first rebuild of the reference encoder stack
+(reference: basecaller.py:7-59): keras (Bi)LSTM/GRU layers become pure
+functions over parameter pytrees driven by ``jax.lax.scan``. The input
+projection ``x @ W`` for all timesteps is hoisted out of the scan into one
+large time-parallel matmul (MXU-friendly); only the recurrent matmul stays
+sequential.
+
+Cell semantics match keras defaults so behavior is comparable:
+- LSTMCell: gate order (i, f, g, o), sigmoid recurrent activation, tanh
+  activation, unit forget bias, glorot-uniform kernel, orthogonal recurrent.
+- GRUCell: ``reset_after=True`` (TF2 default), gate order (z, r, h), separate
+  input/recurrent biases.
+- Layer stacking: final states of layer i seed the initial state of layer
+  i+1 (reference: basecaller.py:52-57); for bidirectional layers, forward
+  states seed the next forward direction and backward seed backward (keras
+  ``Bidirectional`` initial_state split).
+- The reference never passes a mask into the encoder (its ``mask`` kwarg is
+  only forwarded when non-None, and callers pass None —
+  basecaller.py:48-59, 395-416), so padded timesteps are processed as
+  ordinary zero inputs. Preserved: no masking here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def glorot_uniform(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[1]
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def orthogonal(key, shape, dtype=jnp.float32):
+    return jax.nn.initializers.orthogonal()(key, shape, dtype)
+
+
+def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True) -> Params:
+    p = {"kernel": glorot_uniform(key, (in_dim, out_dim))}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,))
+    return p
+
+
+def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Cells
+# ---------------------------------------------------------------------------
+
+
+def init_lstm_cell(key, in_dim: int, units: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    bias = jnp.zeros((4 * units,))
+    # unit_forget_bias (keras default): forget-gate bias = 1
+    bias = bias.at[units : 2 * units].set(1.0)
+    return {
+        "kernel": glorot_uniform(k1, (in_dim, 4 * units)),
+        "recurrent": orthogonal(k2, (units, 4 * units)),
+        "bias": bias,
+    }
+
+
+def lstm_zero_state(batch: int, units: int, dtype=jnp.float32):
+    return (jnp.zeros((batch, units), dtype), jnp.zeros((batch, units), dtype))
+
+
+def lstm_step(p: Params, carry, x: jnp.ndarray, x_proj: Optional[jnp.ndarray] = None):
+    """One LSTM step. ``x_proj`` = precomputed ``x @ kernel + bias`` (the
+    time-parallel path); otherwise computed here."""
+    h, c = carry
+    z = (x @ p["kernel"] + p["bias"]) if x_proj is None else x_proj
+    z = z + h @ p["recurrent"]
+    u = p["recurrent"].shape[0]
+    i, f, g, o = z[:, :u], z[:, u : 2 * u], z[:, 2 * u : 3 * u], z[:, 3 * u :]
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return (h, c), h
+
+
+def init_gru_cell(key, in_dim: int, units: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "kernel": glorot_uniform(k1, (in_dim, 3 * units)),
+        "recurrent": orthogonal(k2, (units, 3 * units)),
+        "input_bias": jnp.zeros((3 * units,)),
+        "recurrent_bias": jnp.zeros((3 * units,)),
+    }
+
+
+def gru_zero_state(batch: int, units: int, dtype=jnp.float32):
+    return (jnp.zeros((batch, units), dtype),)
+
+
+def gru_step(p: Params, carry, x: jnp.ndarray, x_proj: Optional[jnp.ndarray] = None):
+    """GRU with keras ``reset_after=True`` semantics."""
+    (h,) = carry
+    mx = (x @ p["kernel"] + p["input_bias"]) if x_proj is None else x_proj
+    mi = h @ p["recurrent"] + p["recurrent_bias"]
+    u = p["recurrent"].shape[0]
+    xz, xr, xh = mx[:, :u], mx[:, u : 2 * u], mx[:, 2 * u :]
+    rz, rr, rh = mi[:, :u], mi[:, u : 2 * u], mi[:, 2 * u :]
+    z = jax.nn.sigmoid(xz + rz)
+    r = jax.nn.sigmoid(xr + rr)
+    hh = jnp.tanh(xh + r * rh)
+    h = z * h + (1.0 - z) * hh
+    return (h,), h
+
+
+CELLS = {
+    "lstm": (init_lstm_cell, lstm_step, lstm_zero_state, 4),
+    "gru": (init_gru_cell, gru_step, gru_zero_state, 3),
+}
+
+
+def cell_zero_state(cell_type: str, batch: int, units: int, dtype=jnp.float32):
+    return CELLS[cell_type][2](batch, units, dtype)
+
+
+def cell_step(cell_type: str, p: Params, carry, x, x_proj=None):
+    return CELLS[cell_type][1](p, carry, x, x_proj)
+
+
+# ---------------------------------------------------------------------------
+# Unidirectional layer scan
+# ---------------------------------------------------------------------------
+
+
+def run_rnn_layer(
+    p: Params,
+    cell_type: str,
+    xs: jnp.ndarray,  # [B, T, F]
+    initial_state=None,
+    reverse: bool = False,
+):
+    """Run one recurrent layer over time with a hoisted input projection.
+
+    Returns (outputs [B, T, U], final_state).
+    """
+    _, step, zero_state, ngates = CELLS[cell_type]
+    B, T, _ = xs.shape
+    units = p["recurrent"].shape[0]
+    if initial_state is None:
+        initial_state = zero_state(B, units, xs.dtype)
+
+    # Time-parallel input projection: one [B*T, F] @ [F, ngates*U] matmul.
+    bias = p["bias"] if cell_type == "lstm" else p["input_bias"]
+    proj = xs.reshape(B * T, -1) @ p["kernel"] + bias
+    proj = proj.reshape(B, T, ngates * units).swapaxes(0, 1)  # [T, B, G*U]
+
+    def body(carry, xp):
+        carry, h = step(p, carry, None, x_proj=xp)
+        return carry, h
+
+    final, outs = jax.lax.scan(body, initial_state, proj, reverse=reverse)
+    return outs.swapaxes(0, 1), final
+
+
+# ---------------------------------------------------------------------------
+# Stacked (bi)directional encoder
+# ---------------------------------------------------------------------------
+
+
+def init_encoder(
+    key,
+    units: int,
+    depth: int,
+    in_features: int,
+    cell_type: str = "lstm",
+    bidirectional: bool = True,
+) -> List[Params]:
+    init_cell = CELLS[cell_type][0]
+    layers = []
+    in_dim = in_features
+    for d in range(depth):
+        key, kf, kb = jax.random.split(key, 3)
+        layer = {"fwd": init_cell(kf, in_dim, units)}
+        if bidirectional:
+            layer["bwd"] = init_cell(kb, in_dim, units)
+        layers.append(layer)
+        in_dim = units * (2 if bidirectional else 1)
+    return layers
+
+
+def encoder_apply(
+    layers: List[Params],
+    xs: jnp.ndarray,  # [B, T, F]
+    cell_type: str = "lstm",
+    bidirectional: bool = True,
+) -> Tuple[jnp.ndarray, Any]:
+    """Stacked encoder; layer i's final states seed layer i+1
+    (reference: basecaller.py:52-57). Returns (outputs [B, T, U*dirs],
+    final states of the last layer)."""
+    out = xs
+    st_f = st_b = None
+    for layer in layers:
+        o_f, st_f = run_rnn_layer(layer["fwd"], cell_type, out, initial_state=st_f)
+        if bidirectional:
+            # keras Bidirectional: backward layer consumes the sequence
+            # reversed; outputs are re-reversed to align with time
+            # (scan(reverse=True) does both).
+            o_b, st_b = run_rnn_layer(
+                layer["bwd"], cell_type, out, initial_state=st_b, reverse=True
+            )
+            out = jnp.concatenate([o_f, o_b], axis=-1)
+        else:
+            out = o_f
+    states = (st_f, st_b) if bidirectional else (st_f,)
+    return out, states

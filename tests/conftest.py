@@ -3,6 +3,10 @@
 Multi-chip sharding is validated without TPU hardware via
 ``xla_force_host_platform_device_count`` (SURVEY.md §4: the reference has no
 cluster-free distributed testing pattern; this is ours).
+
+Note: in this environment ``jax`` is pre-imported at interpreter startup with
+the TPU platform selected, so env vars alone are too late — we must flip the
+platform through ``jax.config`` before any backend is initialized.
 """
 
 import os
@@ -12,5 +16,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
