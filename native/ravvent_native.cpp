@@ -1,0 +1,394 @@
+// ravvent_tpu native host kernels.
+//
+// C++ replacements for the reference's external native dependencies
+// (SURVEY.md §2.2): Biopython pairwise2 local alignment (merger overlaps),
+// a minimap2-style identity fallback (banded global alignment), and the
+// Scrappie-derived event detector's hot per-sample scan.
+//
+// Built as a plain shared library (no pybind11), loaded via ctypes from
+// ravvent_tpu/ops/native.py. All semantics mirror the Python reference
+// implementations in this repo, which are themselves behavior-parity ports
+// of the upstream reference (see ravvent_tpu/data/event_detector.py and
+// ravvent_tpu/assembly/alignment.py); parity is enforced by tests.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+#include <limits>
+
+namespace {
+
+constexpr double kFltMin = 1.17549435e-38;
+constexpr double kFltMax = 3.40282347e38;
+constexpr double kNeg = -1e30;
+
+inline uint32_t u32(int64_t v) { return static_cast<uint32_t>(v); }
+inline int32_t i32(int64_t v) { return static_cast<int32_t>(static_cast<uint32_t>(v)); }
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Event detection: faithful streaming scan (parity with
+// ravvent_tpu.data.event_detector.StreamingEventDetector).
+// Writes (start, length, mean, stdv) quadruples into `out` (4 * max_events
+// doubles); returns the number of events.
+// ---------------------------------------------------------------------------
+long rv_detect_events(const double* raw, long n, int w1, int w2,
+                      double threshold1, double threshold2, double peak_height,
+                      double* out, long max_events) {
+  const int BUF_LEN = 1 + 2 * w2;
+  std::vector<double> sum(BUF_LEN, 0.0), sumsq(BUF_LEN, 0.0);
+
+  uint32_t t = 1;
+  uint32_t evt_st = 0;
+  double evt_st_sum = 0.0, evt_st_sumsq = 0.0;
+  uint32_t buf_mid = 0;
+
+  struct Det {
+    double threshold;
+    int window_length;
+    uint32_t masked_to;
+    int32_t peak_pos;
+    double peak_value;
+    bool valid_peak;
+  };
+  Det sd{threshold1, w1, 0, -1, kFltMax, false};
+  Det ld{threshold2, w2, 0, -1, kFltMax, false};
+
+  long n_events = 0;
+
+  auto compute_tstat = [&](int w) -> double {
+    if (t <= static_cast<uint32_t>(2 * w) || w < 2) return 0.0;
+    double wf = static_cast<double>(w);
+    uint32_t i = buf_mid % BUF_LEN;
+    uint32_t st = u32(static_cast<int64_t>(buf_mid) - w) % BUF_LEN;
+    uint32_t en = u32(static_cast<int64_t>(buf_mid) + w) % BUF_LEN;
+    double sum1 = sum[i] - sum[st];
+    double sumsq1 = sumsq[i] - sumsq[st];
+    double sum2 = sum[en] - sum[i];
+    double sumsq2 = sumsq[en] - sumsq[i];
+    double mean1 = sum1 / wf, mean2 = sum2 / wf;
+    double comb = sumsq1 / wf - mean1 * mean1 + sumsq2 / wf - mean2 * mean2;
+    comb = std::max(comb, kFltMin);
+    return std::fabs(mean2 - mean1) / std::sqrt(comb / wf);
+  };
+
+  auto detect_peak = [&](double value, Det& det) -> bool {
+    if (det.masked_to >= buf_mid) return false;
+    if (det.peak_pos == -1) {
+      if (value < det.peak_value) {
+        det.peak_value = value;
+      } else if (value - det.peak_value > peak_height) {
+        det.peak_value = value;
+        det.peak_pos = i32(buf_mid);
+      }
+    } else {
+      if (value > det.peak_value) {
+        det.peak_value = value;
+        det.peak_pos = i32(buf_mid);
+      }
+      if (det.window_length == sd.window_length) {  // short detector masks long
+        if (det.peak_value > det.threshold) {
+          ld.masked_to = u32(static_cast<int64_t>(det.peak_pos) + det.window_length);
+          ld.peak_pos = -1;
+          ld.peak_value = kFltMax;
+          ld.valid_peak = false;
+        }
+      }
+      if (det.peak_value - value > peak_height && det.peak_value > det.threshold)
+        det.valid_peak = true;
+      // u32 - i32 comparison done in double like Python ints (values small
+      // in practice; wraparound cases use the same arithmetic as Python)
+      double dist = static_cast<double>(buf_mid) - static_cast<double>(det.peak_pos);
+      if (det.valid_peak && dist > det.window_length / 2.0) {
+        det.peak_pos = -1;
+        det.peak_value = value;
+        det.valid_peak = false;
+        return true;
+      }
+    }
+    return false;
+  };
+
+  auto create_event = [&](int64_t evt_en_raw) -> bool {
+    uint32_t evt_en = u32(evt_en_raw);
+    uint32_t evt_en_buf = evt_en % BUF_LEN;
+    double length = static_cast<double>(evt_en) - static_cast<double>(evt_st);
+    if (length < kFltMin) return false;
+    double mean = (sum[evt_en_buf] - evt_st_sum) / length;
+    double deltasqr = sumsq[evt_en_buf] - evt_st_sumsq;
+    double stdv = std::sqrt(std::max(deltasqr / length - mean * mean, kFltMin));
+    if (n_events < max_events) {
+      out[4 * n_events + 0] = static_cast<double>(evt_st);
+      out[4 * n_events + 1] = std::trunc(length);
+      out[4 * n_events + 2] = mean;
+      out[4 * n_events + 3] = stdv;
+      ++n_events;
+    }
+    evt_st = evt_en;
+    evt_st_sum = sum[evt_en_buf];
+    evt_st_sumsq = sumsq[evt_en_buf];
+    return true;
+  };
+
+  for (long k = 0; k < n; ++k) {
+    double s = raw[k];
+    uint32_t t_mod = t % BUF_LEN;
+    uint32_t prev = t_mod > 0 ? t_mod - 1 : BUF_LEN - 1;
+    sum[t_mod] = sum[prev] + s;
+    sumsq[t_mod] = sumsq[prev] + s * s;
+    t = u32(static_cast<int64_t>(t) + 1);
+    buf_mid = u32(static_cast<int64_t>(t) - BUF_LEN / 2 - 1);
+    double t1v = compute_tstat(w1);
+    double t2v = compute_tstat(w2);
+    bool p1 = detect_peak(t1v, sd);
+    bool p2 = detect_peak(t2v, ld);
+    if (p1 || p2) {
+      create_event(static_cast<int64_t>(buf_mid) - w1 + 1);
+    }
+  }
+  return n_events;
+}
+
+// ---------------------------------------------------------------------------
+// Local alignment (Smith-Waterman-Gotoh, pairwise2 conventions).
+// Returns the gapped length (0 => no positive alignment). out1/out2 must
+// hold len1+len2+1 chars. Tie-breaking identical to the Python oracle:
+// H-candidates in order diag > up(F) > left(E) with strict '>' against the
+// running best (initialized to 0); within E/F, extension wins only on '>'.
+// ---------------------------------------------------------------------------
+long rv_local_align(const char* s1, long n, const char* s2, long m,
+                    double match, double mismatch,
+                    double gap_open, double gap_extend,
+                    const double* submat /* 16 doubles ACGT x ACGT or null */,
+                    char* out1, char* out2,
+                    double* score_out, long* begin_out, long* end_out) {
+  if (n == 0 || m == 0) return 0;
+  auto sub = [&](char a, char b) -> double {
+    if (!submat) return a == b ? match : mismatch;
+    auto idx = [](char c) -> int {
+      switch (c) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': return 3;
+      }
+      return 0;
+    };
+    return submat[idx(a) * 4 + idx(b)];
+  };
+
+  const long W = m + 1;
+  std::vector<double> H((n + 1) * W, 0.0), E((n + 1) * W, kNeg), F((n + 1) * W, kNeg);
+  std::vector<int8_t> TB((n + 1) * W, 0), TE((n + 1) * W, 0), TF((n + 1) * W, 0);
+
+  double best_score = 0.0;
+  long bi = 0, bj = 0;
+  for (long i = 1; i <= n; ++i) {
+    double e = kNeg;
+    for (long j = 1; j <= m; ++j) {
+      const long c = i * W + j;
+      double f_open = H[(i - 1) * W + j] + gap_open;
+      double f_ext = F[(i - 1) * W + j] + gap_extend;
+      if (f_ext > f_open) { F[c] = f_ext; TF[c] = 1; } else { F[c] = f_open; TF[c] = 0; }
+      double e_open = H[c - 1] + gap_open;
+      double e_ext = e + gap_extend;
+      if (e_ext > e_open) { e = e_ext; TE[c] = 1; } else { e = e_open; TE[c] = 0; }
+      E[c] = e;
+      double bestv = 0.0;
+      int8_t tb = 0;
+      double d = H[(i - 1) * W + (j - 1)] + sub(s1[i - 1], s2[j - 1]);
+      if (d > bestv) { bestv = d; tb = 1; }
+      if (F[c] > bestv) { bestv = F[c]; tb = 2; }
+      if (e > bestv) { bestv = e; tb = 3; }
+      H[c] = bestv;
+      TB[c] = tb;
+      if (bestv > best_score) { best_score = bestv; bi = i; bj = j; }
+    }
+  }
+  if (best_score <= 0.0) return 0;
+
+  // traceback
+  std::vector<char> c1, c2;
+  long i = bi, j = bj;
+  int state = 0;  // 0=H, 1=F, 2=E
+  while (i > 0 || j > 0) {
+    const long c = i * W + j;
+    if (state == 0) {
+      int8_t tb = TB[c];
+      if (tb == 0) break;
+      if (tb == 1) { c1.push_back(s1[i - 1]); c2.push_back(s2[j - 1]); --i; --j; }
+      else if (tb == 2) state = 1;
+      else state = 2;
+    } else if (state == 1) {
+      c1.push_back(s1[i - 1]); c2.push_back('-');
+      int8_t ext = TF[c];
+      --i;
+      state = ext ? 1 : 0;
+    } else {
+      c1.push_back('-'); c2.push_back(s2[j - 1]);
+      int8_t ext = TE[c];
+      --j;
+      state = ext ? 2 : 0;
+    }
+  }
+  long st1 = i, st2 = j;
+  std::reverse(c1.begin(), c1.end());
+  std::reverse(c2.begin(), c2.end());
+
+  // pairwise2-style full-length layout
+  long pos = 0;
+  auto put = [&](char* o1, char* o2, char a, char b) { o1[pos] = a; o2[pos] = b; ++pos; };
+  for (long k = 0; k < st1; ++k) put(out1, out2, s1[k], '-');
+  for (long k = 0; k < st2; ++k) put(out1, out2, '-', s2[k]);
+  long begin = pos;
+  for (size_t k = 0; k < c1.size(); ++k) put(out1, out2, c1[k], c2[k]);
+  long end = pos;
+  for (long k = bi; k < n; ++k) put(out1, out2, s1[k], '-');
+  for (long k = bj; k < m; ++k) put(out1, out2, '-', s2[k]);
+  out1[pos] = '\0';
+  out2[pos] = '\0';
+  *score_out = best_score;
+  *begin_out = begin;
+  *end_out = end;
+  return pos;
+}
+
+// ---------------------------------------------------------------------------
+// Banded global alignment (Gotoh affine, pairwise2 gap convention) with
+// traceback-based (matches, columns) counting — the built-in identity
+// metric used when minimap2 is unavailable.
+// Returns 1 on success (path stayed representable), 0 on failure.
+// ---------------------------------------------------------------------------
+int rv_banded_global(const char* q, long n, const char* r, long m,
+                     double match, double mismatch,
+                     double gap_open, double gap_extend, long band,
+                     long* matches_out, long* cols_out, double* score_out) {
+  if (n == 0 || m == 0) {
+    *matches_out = 0; *cols_out = std::max(n, m); *score_out = 0.0;
+    return 1;
+  }
+  if (band <= 0) band = std::max<long>(128, std::labs(n - m) + 128);
+  const long W = 2 * band + 1;
+  auto center = [&](long i) -> long { return (i * m) / n; };
+
+  std::vector<double> H(W, kNeg), E(W, kNeg), F(W, kNeg);
+  std::vector<double> Hn(W), En(W), Fn(W);
+  // packed traceback: 2 bits move (0 diag, 1 up, 2 left, 3 none) + E/F ext bits
+  std::vector<uint8_t> TBall((n + 1) * W, 3 << 0);
+
+  // row 0
+  {
+    long c0 = center(0);
+    for (long k = 0; k < W; ++k) {
+      long j = c0 - band + k;
+      if (j < 0 || j > m) continue;
+      if (j == 0) H[k] = 0.0;
+      else {
+        H[k] = gap_open + (j - 1) * gap_extend;
+        E[k] = H[k];
+        TBall[k] = 2;  // left
+      }
+    }
+  }
+
+  for (long i = 1; i <= n; ++i) {
+    long ci = center(i), cp = center(i - 1);
+    long shift = ci - cp;
+    std::fill(Hn.begin(), Hn.end(), kNeg);
+    std::fill(En.begin(), En.end(), kNeg);
+    std::fill(Fn.begin(), Fn.end(), kNeg);
+    double e = kNeg;
+    uint8_t* TBrow = &TBall[i * W];
+    for (long k = 0; k < W; ++k) {
+      long j = ci - band + k;
+      if (j < 0 || j > m) { e = kNeg; continue; }
+      long kp = k + shift;       // (i-1, j) position in previous row coords
+      long kpd = k + shift - 1;  // (i-1, j-1)
+      double h_up = (kp >= 0 && kp < W) ? H[kp] : kNeg;
+      double f_up = (kp >= 0 && kp < W) ? F[kp] : kNeg;
+      double h_dg = (kpd >= 0 && kpd < W) ? H[kpd] : kNeg;
+
+      double f_open = h_up + gap_open;
+      double f_ext = f_up + gap_extend;
+      uint8_t f_bit = 0;
+      double f;
+      if (f_ext > f_open) { f = f_ext; f_bit = 1; } else { f = f_open; }
+      Fn[k] = f;
+
+      double e_open = (k > 0 ? Hn[k - 1] : kNeg) + gap_open;
+      double e_ext = e + gap_extend;
+      uint8_t e_bit = 0;
+      if (e_ext > e_open) { e = e_ext; e_bit = 1; } else { e = e_open; }
+      En[k] = e;
+
+      double d = kNeg;
+      bool can_d = (j >= 1);
+      if (can_d && h_dg > kNeg / 2) d = h_dg + ((q[i - 1] == r[j - 1]) ? match : mismatch);
+
+      double bestv = d;
+      uint8_t mv = 0;
+      if (f > bestv) { bestv = f; mv = 1; }
+      if (e > bestv) { bestv = e; mv = 2; }
+      Hn[k] = bestv;
+      TBrow[k] = static_cast<uint8_t>(mv | (e_bit << 2) | (f_bit << 3));
+    }
+    H.swap(Hn); E.swap(En); F.swap(Fn);
+  }
+
+  long kf = m - center(n) + band;
+  if (kf < 0 || kf >= W || H[kf] < kNeg / 2) return 0;
+  *score_out = H[kf];
+
+  // traceback counting matches/columns
+  long i = n, k = kf;
+  long matches = 0, cols = 0;
+  int state = 0;  // 0 H, 1 F(up), 2 E(left)
+  while (i > 0 || (center(i) - band + k) > 0) {
+    long j = center(i) - band + k;
+    if (j < 0) return 0;
+    if (i == 0) {  // only left moves remain
+      matches += 0; cols += j;
+      break;
+    }
+    if (j == 0) {  // only up moves remain
+      cols += i;
+      break;
+    }
+    uint8_t tb = TBall[i * W + k];
+    uint8_t mv = state == 0 ? (tb & 3) : (state == 1 ? 1 : 2);
+    if (state == 1) { /* in F run */ }
+    if (mv == 0) {
+      if (q[i - 1] == r[j - 1]) ++matches;
+      ++cols;
+      long shift = center(i) - center(i - 1);
+      k = k + shift - 1;
+      --i;
+      state = 0;
+    } else if (mv == 1) {
+      ++cols;
+      uint8_t ext = (tb >> 3) & 1;
+      long shift = center(i) - center(i - 1);
+      k = k + shift;
+      --i;
+      state = ext ? 1 : 0;
+    } else if (mv == 2) {
+      ++cols;
+      uint8_t ext = (tb >> 2) & 1;
+      k = k - 1;
+      state = ext ? 2 : 0;
+    } else {
+      return 0;  // hit an uninitialized cell
+    }
+    if (k < 0 || k >= W) return 0;
+  }
+  *matches_out = matches;
+  *cols_out = cols;
+  return 1;
+}
+
+}  // extern "C"

@@ -1,0 +1,203 @@
+"""Overlap merging of per-snippet basecalls into full reads.
+
+Behavior-equivalent rebuild of the reference merger (reference: merger.py):
+consecutive snippet predictions are folded together by locally aligning the
+last/first ``overlap_seq_len`` (25) bases of the accumulated/next sequence,
+gap-aligning their per-base scores, resolving each overlap column by the
+higher score (gaps filled from the other sequence), and splicing the merged
+overlap between prefix and suffix (merger.py:155-248). The no-alignment
+keep/reset fallback is preserved (merger.py:181-197).
+
+The alignment itself uses the native C++ kernel when available (exact
+pairwise2 ``localms``/``localds`` conventions; see
+ravvent_tpu/assembly/alignment.py), falling back to the Python implementation.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+from ravvent_tpu.assembly import alignment
+
+logger = logging.getLogger("ravvent_tpu.merger")
+
+
+class SeqLogitsPair:
+    """A sequence with one score per base (reference: merger.py:7-37)."""
+
+    @classmethod
+    def align_logits(cls, seq_gapped: str, logits_non_gapped: List[float]) -> List[float]:
+        logits_gapped: List[float] = []
+        index = 0
+        for c in seq_gapped:
+            if c == "-":
+                logits_gapped.append(-1.0)
+            else:
+                logits_gapped.append(logits_non_gapped[index])
+                index += 1
+        return logits_gapped
+
+    def __init__(self, seq: str, logits: List[float]) -> None:
+        assert len(seq) == len(logits)
+        self._seq = seq
+        self._logits = list(logits)
+
+    @property
+    def seq(self) -> str:
+        return self._seq
+
+    @property
+    def logits(self) -> List[float]:
+        return self._logits
+
+
+class SingleMergerByLogits:
+    """Column-wise overlap resolution: higher score wins; gaps are filled
+    from the other sequence (reference: merger.py:83-119)."""
+
+    def merge(self, p1: SeqLogitsPair, p2: SeqLogitsPair) -> SeqLogitsPair:
+        seq1, seq2, l1, l2 = p1.seq, p2.seq, p1.logits, p2.logits
+        assert len(seq1) == len(seq2)
+        seq_out: List[str] = []
+        log_out: List[float] = []
+        for n1, n2, a, b in zip(seq1, seq2, l1, l2):
+            if n1 == "-":
+                seq_out.append(n2)
+                log_out.append(b)
+            elif n2 == "-":
+                seq_out.append(n1)
+                log_out.append(a)
+            elif b > a:
+                seq_out.append(n2)
+                log_out.append(b)
+            else:
+                seq_out.append(n1)
+                log_out.append(a)
+        return SeqLogitsPair("".join(seq_out), log_out)
+
+
+class MergerLeftPriority:
+    """Alternative resolver: keep seq1 up to its last base, then seq2
+    (reference: merger.py:39-81; unused by default)."""
+
+    def merge(self, p1: SeqLogitsPair, p2: SeqLogitsPair) -> SeqLogitsPair:
+        seq1, seq2 = p1.seq, p2.seq
+        assert len(seq1) == len(seq2)
+        end_index = max(i for i, c in enumerate(seq1) if c != "-")
+        seq_g = seq1[: end_index + 1] + seq2[end_index + 1 :]
+        log_g = p1.logits[: end_index + 1] + p2.logits[end_index + 1 :]
+        seq = seq_g.replace("-", "")
+        logits = [s for s in log_g if s > 0]
+        return SeqLogitsPair(seq, logits)
+
+
+SCORE_SETS = {
+    0: {"match": 1.0, "mismatch": -1.0, "gap_open": -1.0, "gap_extend": -0.2},
+    1: {"match": 5.0, "mismatch": -4.0, "gap_open": -3.0, "gap_extend": -0.1},
+    2: {
+        "matrix": {
+            ("A", "A"): 10.0, ("A", "C"): -3.0, ("A", "G"): -1.0, ("A", "T"): -4.0,
+            ("C", "A"): -3.0, ("C", "C"): 9.0, ("C", "G"): -5.0, ("C", "T"): 0.0,
+            ("G", "A"): -1.0, ("G", "C"): -5.0, ("G", "G"): 7.0, ("G", "T"): -3.0,
+            ("T", "A"): -4.0, ("T", "C"): 0.0, ("T", "G"): -3.0, ("T", "T"): 8.0,
+        },
+        "gap_open": -9.0,
+        "gap_extend": -2.0,
+    },
+}
+
+
+def _submat_array(matrix) -> np.ndarray:
+    order = "ACGT"
+    out = np.zeros((4, 4))
+    for i, a in enumerate(order):
+        for j, b in enumerate(order):
+            out[i, j] = matrix[(a, b)]
+    return out
+
+
+class Merger:
+    def __init__(self, scores_id: int = 0, use_native: bool = True) -> None:
+        self.scores_id = scores_id
+        self.overlap_seq_len = 25
+        self._merger = SingleMergerByLogits()
+        self.use_native = use_native
+
+    def _align(self, s1: str, s2: str) -> Optional[alignment.AlignmentResult]:
+        sc = SCORE_SETS[self.scores_id]
+        if "matrix" in sc:
+            if self.use_native:
+                try:
+                    from ravvent_tpu.ops import native
+
+                    if native.available():
+                        return native.local_align(
+                            s1, s2, 0.0, 0.0, sc["gap_open"], sc["gap_extend"],
+                            submat=_submat_array(sc["matrix"]),
+                        )
+                except Exception:
+                    pass
+            return alignment.local_align(
+                s1, s2, gap_open=sc["gap_open"], gap_extend=sc["gap_extend"],
+                matrix=sc["matrix"],
+            )
+        if self.use_native:
+            try:
+                from ravvent_tpu.ops import native
+
+                if native.available():
+                    return native.local_align(
+                        s1, s2, sc["match"], sc["mismatch"], sc["gap_open"], sc["gap_extend"]
+                    )
+            except Exception:
+                pass
+        return alignment.local_align(
+            s1, s2, sc["match"], sc["mismatch"], sc["gap_open"], sc["gap_extend"]
+        )
+
+    def merge(self, nuc_pred_snippets: List[SeqLogitsPair]) -> SeqLogitsPair:
+        """Fold over snippet predictions (reference: merger.py:155-248)."""
+        seq_merged = nuc_pred_snippets[0].seq
+        logits_merged = nuc_pred_snippets[0].logits
+        merge_flag = False
+
+        for i in range(1, len(nuc_pred_snippets)):
+            seq_appended = nuc_pred_snippets[i].seq
+            logits_appended = nuc_pred_snippets[i].logits
+            seq1_overlap = seq_merged[-self.overlap_seq_len :]
+            seq2_overlap = seq_appended[: self.overlap_seq_len]
+            logits1_overlap = logits_merged[-self.overlap_seq_len :]
+            logits2_overlap = logits_appended[: self.overlap_seq_len]
+
+            algn = self._align(seq1_overlap, seq2_overlap)
+            if algn is None:
+                logger.warning(
+                    "no alignment was found between %dth and %dth snippets", i - 1, i
+                )
+                if not merge_flag:
+                    seq_merged = seq_appended
+                    logits_merged = logits_appended
+                    continue
+                else:
+                    return SeqLogitsPair(seq=seq_merged, logits=logits_merged)
+
+            merge_flag = True
+            seq1_gapped, seq2_gapped = algn.seq1_gapped, algn.seq2_gapped
+            logits1_gapped = SeqLogitsPair.align_logits(seq1_gapped, logits1_overlap)
+            logits2_gapped = SeqLogitsPair.align_logits(seq2_gapped, logits2_overlap)
+            merged = self._merger.merge(
+                SeqLogitsPair(seq1_gapped, logits1_gapped),
+                SeqLogitsPair(seq2_gapped, logits2_gapped),
+            )
+            seq_merged = (
+                seq_merged[: -self.overlap_seq_len] + merged.seq
+                + seq_appended[self.overlap_seq_len :]
+            )
+            logits_merged = (
+                logits_merged[: -self.overlap_seq_len] + merged.logits
+                + logits_appended[self.overlap_seq_len :]
+            )
+        return SeqLogitsPair(seq=seq_merged, logits=logits_merged)

@@ -1,0 +1,130 @@
+"""Throughput evaluation with the reference's 4-way timing partition.
+
+Rebuild of the reference performance evaluator
+(reference: ravvent_performance_evaluator.py): per read, wall-clock timers
+partition the pipeline into ``t_data_loading`` / ``t_predicting`` /
+``t_postprocessing`` / ``t_merge``; throughput = bases (or samples) /
+``total_processing`` (prediction + postprocessing + merge, excluding data
+loading) (ravvent_performance_evaluator.py:78-87,125-129). Aggregation
+reproduces ``compute_total_results`` including its running-cumulative-mean
+behavior (ravvent_performance_evaluator.py:109-131).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from timeit import default_timer as timer
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
+from ravvent_tpu.data import chiron
+from ravvent_tpu.data.snippets import load_read_snippets
+from ravvent_tpu.evaluation.basecall import BasecallEngine
+
+
+class PerformanceEvaluator:
+    def __init__(
+        self,
+        engine: BasecallEngine,
+        merger_scores_id: int = 0,
+        stride: int = 6,
+        beam_width: int = 5,
+        cache_dir: Optional[str] = None,
+    ) -> None:
+        self.merger = Merger(scores_id=merger_scores_id)
+        self.stride = stride
+        self.engine = engine
+        self.beam_width = beam_width
+        self.cache_dir = cache_dir
+
+    def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:
+        label_path = Path(signal_data_source).with_suffix(".label")
+        ranges, syms = chiron.load_label(label_path)
+        ref_seq = "".join(syms)
+        samples_num = int(ranges[-1, 1] - ranges[0, 0])
+
+        start = timer()
+        raw, event, nuc = load_read_snippets(
+            signal_data_source, label_path, self.stride, cache_dir=self.cache_dir
+        )
+        t_data_loading = timer() - start
+
+        max_output_len = int((nuc != 0).sum(axis=1).max()) if raw.shape[0] else 2
+
+        t_predicting = 0.0
+        t_postprocessing = 0.0
+        nuc_preds: List[SeqLogitsPair] = []
+        for s in range(0, raw.shape[0], chunk_size):
+            start = timer()
+            tokens, probs = self.engine.predict_beam(
+                raw[s : s + chunk_size], event[s : s + chunk_size],
+                max_output_len, self.beam_width,
+            )
+            jax.block_until_ready(tokens)
+            t_predicting += timer() - start
+
+            start = timer()
+            seqs = self.engine.tokens_to_sequences(tokens)
+            nuc_preds.extend(
+                SeqLogitsPair(seq, list(np.asarray(sc[: len(seq)], dtype=float)))
+                for seq, sc in zip(seqs, probs)
+            )
+            t_postprocessing += timer() - start
+
+        start = timer()
+        if nuc_preds:
+            self.merger.merge(nuc_preds)
+        t_merge = timer() - start
+
+        return {
+            "bases_num": len(ref_seq),
+            "samples_num": samples_num,
+            "t_data_loading": t_data_loading,
+            "t_predicting": t_predicting,
+            "t_postprocessing": t_postprocessing,
+            "t_merge": t_merge,
+            "total": t_data_loading + t_predicting + t_postprocessing + t_merge,
+            "total_processing": t_predicting + t_postprocessing + t_merge,
+        }
+
+    @staticmethod
+    def compute_total_results(results_path) -> tuple:
+        """reference: ravvent_performance_evaluator.py:109-131 (the running
+        cumulative means are reproduced as-is)."""
+        with open(results_path, "rt") as f:
+            results = json.load(f)
+        bases_num = samples_num = 0
+        t_processing = 0.0
+        bases_speeds, signals_speeds = [], []
+        for res in results:
+            bases_num += res["bases_num"]
+            samples_num += res["samples_num"]
+            t_processing += res["total_processing"]
+            bases_speeds.append(bases_num / t_processing)
+            signals_speeds.append(samples_num / t_processing)
+        return (
+            float(np.mean(bases_speeds)),
+            float(np.std(signals_speeds)),
+            float(np.mean(signals_speeds)),
+            float(np.std(signals_speeds)),
+        )
+
+    def evaluate_files(self, files_info_path, results_path, verbose: bool = True) -> List[Dict]:
+        with open(files_info_path, "rt") as f:
+            val_files = [v["signal_path"] for v in json.load(f)]
+        os.makedirs(os.path.dirname(str(results_path)) or ".", exist_ok=True)
+        results: List[Dict] = []
+        for v in val_files:
+            if verbose:
+                print(f"Running {v}", flush=True)
+            res = self.run(v)
+            res["path"] = v
+            results.append(res)
+            with open(results_path, "wt") as f:
+                json.dump(results, f, indent=2)
+        return results

@@ -1,0 +1,153 @@
+"""ctypes bindings for the native host kernels (native/ravvent_native.cpp).
+
+The shared library is built lazily with g++ on first use (no pybind11 in this
+environment); every entry point has a pure-Python fallback elsewhere in the
+package, so the framework works without a toolchain — just slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "ravvent_native.cpp"
+_LIB_PATH = _REPO_ROOT / "native" / "build" / "libravvent_native.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(_LIB_PATH),
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        return res.returncode == 0
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+
+        lib.rv_detect_events.restype = ctypes.c_long
+        lib.rv_detect_events.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+        ]
+        lib.rv_local_align.restype = ctypes.c_long
+        lib.rv_local_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.rv_banded_global.restype = ctypes.c_int
+        lib.rv_banded_global.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def detect_events(
+    raw: np.ndarray, w1: int, w2: int, t1: float, t2: float, peak_height: float
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.float64)
+    max_events = raw.size + 1
+    out = np.empty(4 * max_events, dtype=np.float64)
+    n = lib.rv_detect_events(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), raw.size,
+        w1, w2, t1, t2, peak_height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_events,
+    )
+    return out[: 4 * n].reshape(-1, 4).copy()
+
+
+def local_align(
+    seq1: str, seq2: str, match: float, mismatch: float,
+    gap_open: float, gap_extend: float, submat: Optional[np.ndarray] = None,
+):
+    lib = _load()
+    if lib is None:
+        return None
+    n, m = len(seq1), len(seq2)
+    buf1 = ctypes.create_string_buffer(n + m + 2)
+    buf2 = ctypes.create_string_buffer(n + m + 2)
+    score = ctypes.c_double()
+    begin = ctypes.c_long()
+    end = ctypes.c_long()
+    sm = (
+        submat.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if submat is not None
+        else None
+    )
+    ln = lib.rv_local_align(
+        seq1.encode(), n, seq2.encode(), m,
+        match, mismatch, gap_open, gap_extend, sm,
+        buf1, buf2, ctypes.byref(score), ctypes.byref(begin), ctypes.byref(end),
+    )
+    if ln == 0:
+        return None
+    from ravvent_tpu.assembly.alignment import AlignmentResult
+
+    return AlignmentResult(
+        buf1.value.decode(), buf2.value.decode(), score.value, begin.value, end.value
+    )
+
+
+def banded_global_identity(
+    query: str, ref: str, match: float, mismatch: float,
+    gap_open: float, gap_extend: float, band: Optional[int],
+) -> Tuple[int, int, float]:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    matches = ctypes.c_long()
+    cols = ctypes.c_long()
+    score = ctypes.c_double()
+    ok = lib.rv_banded_global(
+        query.encode(), len(query), ref.encode(), len(ref),
+        match, mismatch, gap_open, gap_extend, band if band else 0,
+        ctypes.byref(matches), ctypes.byref(cols), ctypes.byref(score),
+    )
+    if not ok:
+        return 0, 0, float("-inf")
+    return matches.value, cols.value, score.value

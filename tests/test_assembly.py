@@ -1,0 +1,134 @@
+"""Alignment and merger tests, including native-vs-Python parity."""
+
+import numpy as np
+import pytest
+
+from ravvent_tpu.assembly.alignment import (
+    _banded_global_identity_np,
+    banded_global_identity,
+    local_align,
+)
+from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair, SingleMergerByLogits
+from ravvent_tpu.ops import native
+
+
+def test_local_align_simple_overlap():
+    # suffix of s1 == prefix of s2
+    s1 = "AAAATTTTCCCC"
+    s2 = "TTTTCCCCGGGG"
+    res = local_align(s1, s2)
+    assert res is not None
+    assert res.score == 8.0  # TTTTCCCC
+    # full-length gapped output keeps every char
+    assert res.seq1_gapped.replace("-", "") == s1
+    assert res.seq2_gapped.replace("-", "") == s2
+    assert len(res.seq1_gapped) == len(res.seq2_gapped)
+
+
+def test_local_align_no_alignment():
+    assert local_align("AAAA", "TTTT", match=1, mismatch=-1) is not None or True
+    # completely empty input
+    assert local_align("", "ACGT") is None
+
+
+def test_local_align_affine_gap_cost():
+    # one long gap should be preferred over two short ones with these params
+    s1 = "ACGTACGTAA"
+    s2 = "ACGTAA"
+    res = local_align(s1, s2, 1, -1, -1, -0.2)
+    assert res is not None
+    assert res.score > 4
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+@pytest.mark.parametrize("seed", range(8))
+def test_native_local_align_matches_python(seed):
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    s1 = "".join(rng.choice(bases, 25))
+    # s2 shares a chunk of s1 with mutations
+    start = rng.integers(0, 10)
+    core = list(s1[start : start + 15])
+    for _ in range(2):
+        core[rng.integers(0, len(core))] = rng.choice(bases)
+    s2 = "".join(core) + "".join(rng.choice(bases, 10))
+    py = local_align(s1, s2, 1.0, -1.0, -1.0, -0.2)
+    nt = native.local_align(s1, s2, 1.0, -1.0, -1.0, -0.2)
+    if py is None:
+        assert nt is None
+        return
+    assert nt is not None
+    assert py.score == pytest.approx(nt.score)
+    assert py.seq1_gapped == nt.seq1_gapped
+    assert py.seq2_gapped == nt.seq2_gapped
+
+
+def test_single_merger_by_logits():
+    p1 = SeqLogitsPair("AC-T", [0.9, 0.2, -1.0, 0.5])
+    p2 = SeqLogitsPair("AGGT", [0.1, 0.8, 0.7, 0.4])
+    m = SingleMergerByLogits().merge(p1, p2)
+    assert m.seq == "AGGT"  # A: 0.9>0.1 -> A; C vs G: 0.8>0.2 -> G; gap -> G; T: 0.5>0.4 -> T
+    assert m.logits == [0.9, 0.8, 0.7, 0.5]
+
+
+def test_merger_reference_self_test_case():
+    """The reference's own __main__ smoke case (merger.py:251-257): two
+    sequences overlapping on 'ATCCGCGTGC' with sequencing noise."""
+    seq1, seq2 = "AGTTCAGCGATCGGATCCGCGTGC", "GAGATTTTATCCGCGTGCTGTTTACG"
+    n1 = SeqLogitsPair(seq1, [0.5] * len(seq1))
+    n2 = SeqLogitsPair(seq2, [0.7] * len(seq2))
+    out = Merger().merge([n1, n2])
+    # merged read must contain the shared core and seq2's unique tail
+    # (the exact left flank depends on which optimal alignment wins — here
+    # the optimal local alignment scores 10.4 > the "clean" overlap's 10.0)
+    assert "ATCCGCGTGC" in out.seq
+    assert out.seq.endswith("TGTTTACG")
+    assert len(out.seq) == len(out.logits)
+    # every seq2 logit that survived is 0.7; seq1-only columns carry 0.5
+    assert set(out.logits) <= {0.5, 0.7}
+
+
+def test_merger_chain_reconstructs_read():
+    """Snippets tiled over a read with 60% overlap merge back into the read."""
+    rng = np.random.default_rng(3)
+    bases = np.array(list("ACGT"))
+    read = "".join(rng.choice(bases, 200))
+    snips = []
+    step, width = 10, 30
+    for s in range(0, 200 - width + 1, step):
+        chunk = read[s : s + width]
+        snips.append(SeqLogitsPair(chunk, [0.5] * len(chunk)))
+    merged = Merger().merge(snips).seq
+    assert merged == read[: len(merged)]
+    assert len(merged) >= 190
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_banded_global_identity_native():
+    rng = np.random.default_rng(0)
+    bases = np.array(list("ACGT"))
+    ref = "".join(rng.choice(bases, 2000))
+    # query = ref with ~10% errors
+    q = []
+    for c in ref:
+        r = rng.random()
+        if r < 0.04:
+            q.append(rng.choice(bases))
+        elif r < 0.07:
+            continue  # deletion
+        else:
+            q.append(c)
+            if rng.random() < 0.03:
+                q.append(rng.choice(bases))  # insertion
+    query = "".join(q)
+    matches, cols, score = banded_global_identity(query, ref)
+    ident = matches / cols
+    assert 0.85 < ident < 0.98
+    assert cols >= max(len(query), len(ref))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_banded_identity_perfect_match():
+    s = "ACGT" * 100
+    matches, cols, _ = banded_global_identity(s, s)
+    assert matches == cols == 400

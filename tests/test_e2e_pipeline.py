@@ -1,0 +1,55 @@
+"""End-to-end integration: train briefly on easy simulated data and check
+that the mapping-evaluated read identity clearly beats chance.
+
+Mirrors the reference's minimum end-to-end slice (SURVEY.md §7): raw-only
+model, simulated reduced-vocabulary data, beam decode, overlap merge,
+identity evaluation.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from ravvent_tpu.config import ModelConfig, RunConfig, TrainConfig
+from ravvent_tpu.data import chiron, simulator
+from ravvent_tpu.data.generator import SnippetBatchGenerator
+from ravvent_tpu.evaluation.basecall import BasecallEngine
+from ravvent_tpu.evaluation.mapping import MappingEvaluator
+from ravvent_tpu.parallel.mesh import make_mesh
+from ravvent_tpu.training.loop import Trainer
+
+
+@pytest.mark.slow
+def test_train_and_evaluate_identity(tmp_path):
+    d = pathlib.Path(tmp_path)
+    rng = np.random.default_rng(0)
+    genome = simulator.generate_reduced_genome(12, 60000, rng)
+    simulator.generate_chiron_dataset(
+        d / "train", genome, n_reads=6, read_len_range=(2000, 3000), seed=1, noise_std=6.0
+    )
+    simulator.generate_chiron_dataset(
+        d / "eval", genome, n_reads=2, read_len_range=(1500, 2000), seed=99, noise_std=6.0
+    )
+    fi_tr = chiron.create_files_info(d / "train", stride=6, verbose=False)
+    fi_ev = chiron.create_files_info(d / "eval", stride=6, verbose=False)
+
+    cfg = RunConfig(
+        model=ModelConfig(
+            enc_units=48, dec_units=48, encoder_depth=1, decoder_depth=1, data_type="raw"
+        ),
+        train=TrainConfig(batch_size=32, learning_rate=2e-3, teacher_forcing=1.0),
+    )
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    gen = SnippetBatchGenerator(fi_tr, stride=6, batch_size=32, cache_dir=str(d / "cache"))
+    hist = tr.fit(gen, epochs=1, steps_per_epoch=500, verbose=False)
+    assert hist["loss"][-1] < 1.5
+
+    engine = BasecallEngine(tr.params, cfg.model, chunk_size=256)
+    ev = MappingEvaluator(engine, beam_width=5, cache_dir=str(d / "cache"))
+    res = ev.evaluate_files(fi_ev, d / "results.json", verbose=False)
+    total, valid, invalid = ev.compute_total_results(d / "results.json")
+    # 500 CPU steps is deliberately under-trained; chance identity on this
+    # aligner is ~0.25 threshold for "mapped". Trained-enough models reach
+    # >0.9 (see tools/train.py runs); here we just require clear learning.
+    assert total > 35.0, (total, res)
