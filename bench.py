@@ -1,0 +1,191 @@
+"""Benchmark: end-to-end basecalling throughput (and accuracy) on one chip.
+
+Protocol mirrors the reference performance evaluator
+(reference: ravvent_performance_evaluator.py): per read — chunked beam-5
+prediction, score->prob conversion + token->sequence postprocessing, overlap
+merge — throughput = bases / total_processing (data loading excluded), mean
+over reads. The flagship model is the reference's canonical config (joint
+raw+event, BiLSTM encu128 encd2, LSTM decd1, Luong, beam 5).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "bases/s", "vs_baseline": N}
+vs_baseline is the ratio against the single-process CPU baseline recorded in
+BENCH_BASELINE.json (measured with this same script via --record-baseline on
+the CPU backend — the stand-in for the reference's TF2-CPU pipeline, which
+is not runnable here; our CPU implementation is itself faster than TF2-CPU,
+so the ratio is conservative).
+
+Details (per-read timings, identity if a trained checkpoint is present) go to
+BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+# In this environment jax may be pre-imported at interpreter startup with the
+# TPU platform already selected, so JAX_PLATFORMS in the environment is NOT
+# honored — the platform must be forced through jax.config before backend
+# initialization. --cpu does that for baseline recording.
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+BENCH_DATA = REPO / ".bench_data"
+BASELINE_FILE = REPO / "BENCH_BASELINE.json"
+DETAILS_FILE = REPO / "BENCH_DETAILS.json"
+CHECKPOINT_DIR = REPO / "checkpoints" / "flagship"
+
+N_READS = 4
+READ_LEN = (12000, 18000)
+DATA_SEED = 1234
+
+
+def ensure_dataset():
+    from ravvent_tpu.data import chiron, simulator
+
+    fi = BENCH_DATA / "files_info.snippets.stride_6.json"
+    if fi.exists():
+        return fi
+    rng = np.random.default_rng(DATA_SEED)
+    genome = simulator.random_genome(200_000, rng)
+    simulator.generate_chiron_dataset(
+        BENCH_DATA, genome, n_reads=N_READS, read_len_range=READ_LEN,
+        seed=DATA_SEED, noise_std=9.0,
+    )
+    return chiron.create_files_info(BENCH_DATA, stride=6, verbose=False)
+
+
+def load_flagship():
+    from ravvent_tpu.config import ModelConfig
+    from ravvent_tpu.models.basecaller import init_basecaller
+
+    cfg = ModelConfig(
+        enc_units=128, dec_units=128, encoder_depth=2, decoder_depth=1,
+        rnn_type="bilstm", attention_type="luong", data_type="joint",
+    )
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    trained = False
+    if CHECKPOINT_DIR.exists():
+        try:
+            from ravvent_tpu.training.checkpoints import CheckpointManager
+
+            cm = CheckpointManager(str(CHECKPOINT_DIR.parent))
+            state = cm.restore("flagship", template={"params": params})
+            params = state["params"]
+            trained = True
+        except Exception as e:  # pragma: no cover
+            print(f"warning: checkpoint load failed: {e}", file=sys.stderr)
+    return cfg, params, trained
+
+
+def run_bench(beam_width: int = 5, chunk_size: int = 1024, with_identity: bool = True):
+    from ravvent_tpu.evaluation.basecall import BasecallEngine
+    from ravvent_tpu.evaluation.mapping import MappingEvaluator
+    from ravvent_tpu.evaluation.performance import PerformanceEvaluator
+
+    fi = ensure_dataset()
+    cfg, params, trained = load_flagship()
+    engine = BasecallEngine(params, cfg, chunk_size=chunk_size)
+
+    # Warm up the compact-path compile (steady-state throughput is the
+    # metric; compile results are also cached across runs).
+    rng = np.random.default_rng(0)
+    w_sig = rng.normal(size=(chunk_size * 54,)).astype(np.float32)
+    w_ev = rng.normal(size=(chunk_size * 6, 5)).astype(np.float32)
+    starts = (np.arange(chunk_size) * 54).astype(np.int64)
+    w_rr = np.stack([starts, starts + 190], axis=1)
+    estarts = (np.arange(chunk_size) * 6).astype(np.int64)
+    w_er = np.stack([estarts, estarts + 25], axis=1)
+    engine.predict_beam_compact(w_sig, w_rr, w_ev, w_er, 40, beam_width)
+
+    cache = str(BENCH_DATA / "cache")
+    pe = PerformanceEvaluator(engine, beam_width=beam_width, cache_dir=cache)
+    results = pe.evaluate_files(
+        fi, BENCH_DATA / "perf_results.json", verbose=False, repeats=3
+    )
+
+    bases = sum(r["bases_num"] for r in results)
+    t_proc = sum(r["total_processing"] for r in results)
+    bases_per_s = bases / t_proc
+    samples_per_s = sum(r["samples_num"] for r in results) / t_proc
+
+    details = {
+        "device": str(jax.devices()[0]),
+        "beam_width": beam_width,
+        "chunk_size": chunk_size,
+        "trained_checkpoint": trained,
+        "bases_per_s": bases_per_s,
+        "samples_per_s": samples_per_s,
+        "reads": results,
+    }
+
+    if with_identity:
+        ev = MappingEvaluator(engine, beam_width=beam_width, cache_dir=cache)
+        ev.evaluate_files(fi, BENCH_DATA / "map_results.json", verbose=False)
+        total, valid, invalid = ev.compute_total_results(BENCH_DATA / "map_results.json")
+        details["identity_total"] = total
+        details["identity_valid"] = valid
+        details["invalid_pct"] = invalid
+
+    return details
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record-baseline", action="store_true",
+                    help="store this run's bases/s as the baseline")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (for baseline recording)")
+    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--no-identity", action="store_true")
+    args = ap.parse_args()
+
+    if args.record_baseline and not args.cpu:
+        ap.error("--record-baseline requires --cpu (the baseline is the CPU run)")
+
+    details = run_bench(args.beam, args.chunk, with_identity=not args.no_identity)
+    with open(DETAILS_FILE, "wt") as f:
+        json.dump(details, f, indent=2)
+
+    if args.record_baseline:
+        with open(BASELINE_FILE, "wt") as f:
+            json.dump(
+                {
+                    "bases_per_s": details["bases_per_s"],
+                    "device": details["device"],
+                    "method": "this bench on the CPU backend (TF2-CPU stand-in)",
+                },
+                f,
+                indent=2,
+            )
+
+    baseline = None
+    if BASELINE_FILE.exists():
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["bases_per_s"]
+    vs = details["bases_per_s"] / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "basecall throughput (joint flagship, beam 5, incl. postproc+merge)",
+        "value": round(details["bases_per_s"], 1),
+        "unit": "bases/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,13 +74,6 @@ def beam_decode(
         max_steps = total_steps
     max_steps = jnp.asarray(max_steps, jnp.int32)
 
-    # Tile memory across beams: [B, W, S, ...] folded to [B*W, S, ...].
-    mem_t = attn.AttnMemory(
-        keys=_fold(jnp.broadcast_to(mem.keys[:, None], (B, W) + mem.keys.shape[1:])),
-        values=_fold(jnp.broadcast_to(mem.values[:, None], (B, W) + mem.values.shape[1:])),
-        mask=_fold(jnp.broadcast_to(mem.mask[:, None], (B, W) + mem.mask.shape[1:])),
-    )
-
     dec_units = dec_params["fc"]["kernel"].shape[0]
     state0 = dec.zero_state(dec_params, B * W, dec_units, cell_type, mem.values.dtype)
     start_emb = dec.embed(jnp.full((B * W,), start_token), V)
@@ -91,11 +84,22 @@ def beam_decode(
     finished0 = jnp.zeros((B, W), bool)
     lengths0 = jnp.zeros((B, W), jnp.int32)
 
+    def step_fn(state, cur_emb):
+        """One decode step with beams on an explicit axis for attention —
+        the memory is read once per step, not once per beam."""
+        x = jnp.concatenate([cur_emb, state.attention], axis=-1)
+        new_cells, query = dec.cells_apply(dec_params, state.cells, x, cell_type)
+        context, _ = attn.attend_beams(
+            dec_params["attention"], attention_type, _unfold(query, B, W), mem
+        )
+        attention_vec, logits = dec.output_block(
+            dec_params, query, _fold(context)
+        )
+        return dec.DecoderState(cells=new_cells, attention=attention_vec), logits
+
     def body(carry, t):
         state, cur_emb, cum, finished, lengths = carry
-        state, logits, _ = dec.decoder_step(
-            dec_params, state, cur_emb, mem_t, attention_type, cell_type
-        )
+        state, logits = step_fn(state, cur_emb)
         step_lp = jax.nn.log_softmax(logits, axis=-1)  # [B*W, V]
         step_lp = _unfold(step_lp, B, W)
 

@@ -32,7 +32,7 @@ from ravvent_tpu.assembly.alignment import banded_global_identity
 from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
 from ravvent_tpu.config import ModelConfig
 from ravvent_tpu.data import chiron
-from ravvent_tpu.data.snippets import load_read_snippets
+from ravvent_tpu.data.snippets import load_read_compact
 from ravvent_tpu.evaluation.basecall import BasecallEngine
 
 BEAM_WIDTH_DEFAULT = 5
@@ -67,19 +67,16 @@ class MappingEvaluator:
         (reference: ravvent_mapping_evaluator.py:31-57)."""
         if label_path is None:
             label_path = Path(signal_path).with_suffix(".label")
-        raw, event, nuc = load_read_snippets(
+        sig, rr, ev, er, nuc = load_read_compact(
             signal_path, label_path, self.stride, cache_dir=self.cache_dir
         )
-        if raw.shape[0] == 0:
+        if rr.shape[0] == 0:
             return SeqLogitsPair("", [])
         # decode bound from ground-truth target width (reference quirk #4)
         max_output_len = int((nuc != 0).sum(axis=1).max())
-        if self.beam_width > 1:
-            tokens, probs = self.engine.predict_beam(
-                raw, event, max_output_len, self.beam_width
-            )
-        else:
-            tokens, probs = self.engine.predict_beam(raw, event, max_output_len, 1)
+        tokens, probs = self.engine.predict_beam_compact(
+            sig, rr, ev, er, max_output_len, self.beam_width
+        )
         seqs = self.engine.tokens_to_sequences(tokens)
         nuc_preds = [
             SeqLogitsPair(seq, list(np.asarray(sc[: len(seq)], dtype=float)))

@@ -82,3 +82,27 @@ def attend(
     align = jax.nn.softmax(scores, axis=-1)
     context = jnp.einsum("bs,bse->be", align, mem.values)
     return context, align
+
+
+def attend_beams(
+    params: Params, attention_type: str, query: jnp.ndarray, mem: AttnMemory
+):
+    """Beam-batched attention: query [B, W, q_dim] against untiled memory.
+
+    Keeps the memory [B, S, E] read once per step instead of tiling it across
+    beams (the tfa ``tile_batch`` approach would multiply HBM traffic by the
+    beam width). Returns (context [B, W, memory_dim], alignments [B, W, S]).
+    """
+    if attention_type == "luong":
+        scores = jnp.einsum("bwu,bsu->bws", query, mem.keys)
+    else:
+        q = query @ params["query_kernel"]  # [B, W, units]
+        scores = jnp.einsum(
+            "u,bwsu->bws",
+            params["attention_v"],
+            jnp.tanh(q[:, :, None, :] + mem.keys[:, None, :, :]),
+        )
+    scores = jnp.where(mem.mask[:, None, :], scores, NEG_INF)
+    align = jax.nn.softmax(scores, axis=-1)
+    context = jnp.einsum("bws,bse->bwe", align, mem.values)
+    return context, align

@@ -84,6 +84,28 @@ def embed(token_ids: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
     return jax.nn.one_hot(token_ids, vocab_size, dtype=jnp.float32)
 
 
+def cells_apply(
+    params: Params, cells_state: Tuple, x: jnp.ndarray, cell_type: str = "lstm"
+) -> Tuple[Tuple, jnp.ndarray]:
+    """Run the stacked cells; returns (new_cells_state, top output)."""
+    new_cells = []
+    for cell_p, carry in zip(params["cells"], cells_state):
+        carry, x = cell_step(cell_type, cell_p, carry, x)
+        new_cells.append(carry)
+    return tuple(new_cells), x
+
+
+def output_block(
+    params: Params, query: jnp.ndarray, context: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """AttentionWrapper tail: attention vector + output logits."""
+    attention_vec = dense(
+        params["attention_layer"], jnp.concatenate([query, context], axis=-1)
+    )
+    logits = dense(params["fc"], attention_vec)
+    return attention_vec, logits
+
+
 def decoder_step(
     params: Params,
     state: DecoderState,
@@ -95,17 +117,10 @@ def decoder_step(
     """One fused decode step. Returns (new_state, logits [B, vocab],
     alignments [B, S])."""
     x = jnp.concatenate([token_emb, state.attention], axis=-1)
-    new_cells = []
-    for cell_p, carry in zip(params["cells"], state.cells):
-        carry, x = cell_step(cell_type, cell_p, carry, x)
-        new_cells.append(carry)
-    query = x
+    new_cells, query = cells_apply(params, state.cells, x, cell_type)
     context, align = attn.attend(params["attention"], attention_type, query, mem)
-    attention_vec = dense(
-        params["attention_layer"], jnp.concatenate([query, context], axis=-1)
-    )
-    logits = dense(params["fc"], attention_vec)
-    return DecoderState(cells=tuple(new_cells), attention=attention_vec), logits, align
+    attention_vec, logits = output_block(params, query, context)
+    return DecoderState(cells=new_cells, attention=attention_vec), logits, align
 
 
 def teacher_forced_decode(

@@ -168,6 +168,88 @@ def run_rnn_layer(
     return outs.swapaxes(0, 1), final
 
 
+def run_bidi_layer(
+    layer: Params,
+    cell_type: str,
+    xs: jnp.ndarray,  # [B, T, F]
+    initial_state=None,  # pytree with leading direction axis [2, B, U] per leaf
+):
+    """Forward + backward directions of one bidirectional layer in a single
+    ``lax.scan``: the two directions are stacked on a leading axis so each
+    step runs one batched matmul ``[2, B, U] @ [2, U, G*U]`` instead of two
+    scans with two small matmuls — half the sequential-loop iterations and
+    better MXU utilization.
+
+    Returns (outputs [B, T, 2U] time-aligned, final_state stacked [2, B, U]).
+    """
+    pf, pb = layer["fwd"], layer["bwd"]
+    B, T, _ = xs.shape
+    units = pf["recurrent"].shape[0]
+    ngates = CELLS[cell_type][3]
+
+    bias_key = "bias" if cell_type == "lstm" else "input_bias"
+    proj_f = xs.reshape(B * T, -1) @ pf["kernel"] + pf[bias_key]
+    proj_b = xs[:, ::-1].reshape(B * T, -1) @ pb["kernel"] + pb[bias_key]
+    proj = jnp.stack(
+        [
+            proj_f.reshape(B, T, ngates * units).swapaxes(0, 1),
+            proj_b.reshape(B, T, ngates * units).swapaxes(0, 1),
+        ],
+        axis=1,
+    )  # [T, 2, B, G*U]
+
+    R = jnp.stack([pf["recurrent"], pb["recurrent"]])  # [2, U, G*U]
+
+    if cell_type == "lstm":
+        if initial_state is None:
+            h0 = jnp.zeros((2, B, units), xs.dtype)
+            c0 = jnp.zeros((2, B, units), xs.dtype)
+        else:
+            h0, c0 = initial_state
+
+        def body(carry, zt):
+            h, c = carry
+            z = zt + jnp.einsum("dbu,dug->dbg", h, R)
+            i, f, g, o = (
+                z[..., :units], z[..., units : 2 * units],
+                z[..., 2 * units : 3 * units], z[..., 3 * units :],
+            )
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        final, outs = jax.lax.scan(body, (h0, c0), proj)
+    else:
+        rbias = jnp.stack([pf["recurrent_bias"], pb["recurrent_bias"]])  # [2, G*U]
+        if initial_state is None:
+            h0 = jnp.zeros((2, B, units), xs.dtype)
+        else:
+            (h0,) = initial_state
+
+        def body(carry, zt):
+            (h,) = carry
+            mi = jnp.einsum("dbu,dug->dbg", h, R) + rbias[:, None, :]
+            xz, xr, xh = (
+                zt[..., :units], zt[..., units : 2 * units], zt[..., 2 * units :],
+            )
+            rz, rr, rh = (
+                mi[..., :units], mi[..., units : 2 * units], mi[..., 2 * units :],
+            )
+            z = jax.nn.sigmoid(xz + rz)
+            r = jax.nn.sigmoid(xr + rr)
+            hh = jnp.tanh(xh + r * rh)
+            h = z * h + (1.0 - z) * hh
+            return (h,), h
+
+        final, outs = jax.lax.scan(body, (h0,), proj)
+
+    # outs: [T, 2, B, U]; backward outputs come out in reversed time order,
+    # so flip them along T to time-align with the forward direction.
+    out_f = outs[:, 0].swapaxes(0, 1)  # [B, T, U]
+    out_b = outs[::-1, 1].swapaxes(0, 1)
+    return jnp.concatenate([out_f, out_b], axis=-1), final
+
+
 # ---------------------------------------------------------------------------
 # Stacked (bi)directional encoder
 # ---------------------------------------------------------------------------
@@ -201,21 +283,15 @@ def encoder_apply(
     bidirectional: bool = True,
 ) -> Tuple[jnp.ndarray, Any]:
     """Stacked encoder; layer i's final states seed layer i+1
-    (reference: basecaller.py:52-57). Returns (outputs [B, T, U*dirs],
-    final states of the last layer)."""
+    (reference: basecaller.py:52-57 / keras Bidirectional initial_state
+    split: forward states seed forward, backward seed backward). Returns
+    (outputs [B, T, U*dirs], final states of the last layer)."""
     out = xs
-    st_f = st_b = None
+    state = None
+    if bidirectional:
+        for layer in layers:
+            out, state = run_bidi_layer(layer, cell_type, out, initial_state=state)
+        return out, state
     for layer in layers:
-        o_f, st_f = run_rnn_layer(layer["fwd"], cell_type, out, initial_state=st_f)
-        if bidirectional:
-            # keras Bidirectional: backward layer consumes the sequence
-            # reversed; outputs are re-reversed to align with time
-            # (scan(reverse=True) does both).
-            o_b, st_b = run_rnn_layer(
-                layer["bwd"], cell_type, out, initial_state=st_b, reverse=True
-            )
-            out = jnp.concatenate([o_f, o_b], axis=-1)
-        else:
-            out = o_f
-    states = (st_f, st_b) if bidirectional else (st_f,)
-    return out, states
+        out, state = run_rnn_layer(layer["fwd"], cell_type, out, initial_state=state)
+    return out, (state,)

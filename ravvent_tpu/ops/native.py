@@ -28,7 +28,7 @@ _tried = False
 def _build() -> bool:
     _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC", "-std=c++17",
         str(_SRC), "-o", str(_LIB_PATH),
     ]
     try:

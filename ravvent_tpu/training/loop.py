@@ -169,28 +169,33 @@ class Trainer:
         csv = CSVLogger(csv_log_path) if csv_log_path else None
 
         history: Dict[str, list] = {"loss": [], "acc": [], "val_loss": [], "val_acc": []}
+        has_cbs = bool(tuple(batch_callbacks))
         for epoch in range(initial_epoch, epochs):
             t0 = time.perf_counter()
-            tr_loss, tr_acc, n = 0.0, 0.0, 0
+            # Metrics stay on device until the epoch ends (materializing every
+            # batch would force a host sync per step — costly on
+            # remote-attached devices). Callbacks opt back into per-batch sync.
+            device_metrics = []
             for i, batch in enumerate(train_gen.steps(steps_per_epoch)):
                 m = self.train_on_batch(batch)
-                lf, af = float(m["loss"]), float(m["acc"])
-                tr_loss += lf
-                tr_acc += af
-                n += 1
-                for cb in batch_callbacks:
-                    cb(i, {"loss": lf, "acc": af})
+                device_metrics.append(m)
+                if has_cbs:
+                    lf, af = float(m["loss"]), float(m["acc"])
+                    for cb in batch_callbacks:
+                        cb(i, {"loss": lf, "acc": af})
+            n = len(device_metrics)
+            tr_loss = sum(float(m["loss"]) for m in device_metrics)
+            tr_acc = sum(float(m["acc"]) for m in device_metrics)
             metrics = {"loss": tr_loss / max(n, 1), "acc": tr_acc / max(n, 1)}
 
             if val_gen is not None:
-                vl, va, vn = 0.0, 0.0, 0
-                for batch in val_gen.steps(validation_steps):
-                    m = self.validate_on_batch(batch)
-                    vl += float(m["loss"])
-                    va += float(m["acc"])
-                    vn += 1
-                metrics["val_loss"] = vl / max(vn, 1)
-                metrics["val_acc"] = va / max(vn, 1)
+                vms = [
+                    self.validate_on_batch(batch)
+                    for batch in val_gen.steps(validation_steps)
+                ]
+                vn = len(vms)
+                metrics["val_loss"] = sum(float(m["loss"]) for m in vms) / max(vn, 1)
+                metrics["val_acc"] = sum(float(m["acc"]) for m in vms) / max(vn, 1)
 
             for k, v in metrics.items():
                 history.setdefault(k, []).append(v)

@@ -1,0 +1,45 @@
+"""The compact (on-device gather) inference path must match the materialized
+snippet path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ravvent_tpu.config import ModelConfig
+from ravvent_tpu.data import chiron, simulator
+from ravvent_tpu.data.snippets import load_read_compact, load_read_snippets
+from ravvent_tpu.evaluation.basecall import BasecallEngine
+from ravvent_tpu.models.basecaller import init_basecaller
+
+
+def test_compact_matches_materialized(tmp_path):
+    rng = np.random.default_rng(0)
+    genome = simulator.random_genome(2500, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    sp, lp = tmp_path / "r.signal", tmp_path / "r.label"
+    chiron.write_read(sp, lp, sig, ranges, genome)
+
+    raw, event, nuc = load_read_snippets(sp, lp, stride=6)
+    sigc, rr, ev, er, nuc2 = load_read_compact(sp, lp, stride=6)
+    np.testing.assert_array_equal(nuc, nuc2)
+    assert rr.shape[0] == raw.shape[0]
+
+    # reconstruct snippets from compact form on host and compare exactly
+    N = rr.shape[0]
+    for i in range(0, N, max(1, N // 7)):
+        s, e = rr[i]
+        n = min(e - s, 200)
+        np.testing.assert_array_equal(raw[i, :n, 0], sigc[s : s + n])
+        np.testing.assert_array_equal(raw[i, n:, 0], 0.0)
+        s2, e2 = er[i]
+        m = min(e2 - s2, 30)
+        np.testing.assert_array_equal(event[i, :m], ev[s2 : s2 + m])
+
+    # decoded outputs must agree between the two engine paths
+    cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
+    engine = BasecallEngine(init_basecaller(jax.random.PRNGKey(0), cfg), cfg, chunk_size=64)
+    max_len = int((nuc != 0).sum(axis=1).max())
+    t1, p1 = engine.predict_beam(raw, event, max_len, 3)
+    t2, p2 = engine.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_allclose(p1, p2, rtol=2e-2, atol=1e-3)  # bf16 download

@@ -26,17 +26,33 @@ def synth_signal(rng, n_events=40, mean_lo=400, mean_hi=700, dwell_lo=4, dwell_h
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_vectorized_matches_streaming_default_windows(seed):
+@pytest.mark.parametrize("use_native", [False, True])
+def test_vectorized_matches_streaming_default_windows(seed, use_native):
     rng = np.random.default_rng(seed)
     raw = synth_signal(rng, n_events=120)
     ref = StreamingEventDetector(6, 9).run(raw)
-    fast = detect_events(raw, 6, 9)
+    fast = detect_events(raw, 6, 9, use_native=use_native)
     assert len(ref) == fast.shape[0], (len(ref), fast.shape[0])
     for e, row in zip(ref, fast):
         assert e.start == int(row[0])
         assert e.length == int(row[1])
         assert e.mean == row[2]
         assert e.stdv == row[3]
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_long_signal_parity(use_native):
+    """On long signals, event boundaries must be exactly the streaming
+    detector's; means/stdvs may differ by ULP-amplification (np.cumsum
+    pairwise summation / compiler codegen) — bounded at 1e-9 relative."""
+    rng = np.random.default_rng(123)
+    raw = synth_signal(rng, n_events=2500)
+    ref = StreamingEventDetector(6, 9).run(raw)
+    fast = detect_events(raw, 6, 9, use_native=use_native)
+    assert len(ref) == fast.shape[0]
+    ref_arr = np.array([(e.start, e.length, e.mean, e.stdv) for e in ref])
+    np.testing.assert_array_equal(ref_arr[:, :2], fast[:, :2])
+    np.testing.assert_allclose(ref_arr[:, 2:], fast[:, 2:], rtol=1e-9)
 
 
 @pytest.mark.parametrize("w1,w2", [(3, 6), (5, 9), (6, 9), (5, 13), (4, 8), (9, 10)])
