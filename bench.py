@@ -59,8 +59,11 @@ def ensure_dataset():
     fi = BENCH_DATA / "files_info.snippets.stride_6.json"
     if fi.exists():
         return fi
-    rng = np.random.default_rng(DATA_SEED)
-    genome = simulator.random_genome(200_000, rng)
+    # Same genome recipe as the canonical training set (tools/make_dataset.py
+    # defaults, reference reduced-vocabulary protocol: 43 base 6-mers, seed 7)
+    # but held-out reads, so identity is meaningful for the trained flagship.
+    rng = np.random.default_rng(7)
+    genome = simulator.generate_reduced_genome(43, 300_000, rng)
     simulator.generate_chiron_dataset(
         BENCH_DATA, genome, n_reads=N_READS, read_len_range=READ_LEN,
         seed=DATA_SEED, noise_std=9.0,

@@ -86,8 +86,12 @@ def split_eval_files_info_into_test_validation(
     n_val = int(val_fraction * len(ids))
     val_ids, test_ids = ids[:n_val], ids[n_val:]
 
-    val_path = str(eval_files_info_path).replace("eval", "val")
-    test_path = str(eval_files_info_path).replace("eval", "test")
+    # Replace "eval" only in the file NAME (the reference replaces it in the
+    # whole path — data_loader.py:171-172 — which also renames any "eval"
+    # directory component and writes into a directory that may not exist).
+    p = Path(eval_files_info_path)
+    val_path = str(p.with_name(p.name.replace("eval", "val")))
+    test_path = str(p.with_name(p.name.replace("eval", "test")))
     with open(val_path, "wt") as f:
         json.dump([files_info_data[i] for i in val_ids], f, indent=2)
     with open(test_path, "wt") as f:

@@ -36,16 +36,23 @@ class BasecallEngine:
         cfg: ModelConfig,
         chunk_size: int = 1024,
         total_steps: int = MAX_TARGET_LEN - 1,
+        memory_dtype=None,
     ) -> None:
+        """``memory_dtype=jnp.bfloat16`` stores the attention memory
+        (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
+        at a small numeric cost (validated against identity in bench)."""
         self.params = params
         self.cfg = cfg
         self.chunk_size = chunk_size
         self.total_steps = total_steps
+        self.memory_dtype = memory_dtype
         mcfg = cfg
 
         def _beam(params, raw, event, max_steps, beam_width):
             enc_out, mask = encode_input(params, raw, event, mcfg)
-            mem = attn.setup_memory(params["decoder"]["attention"], enc_out, mask)
+            mem = attn.setup_memory(
+                params["decoder"]["attention"], enc_out, mask, self.memory_dtype
+            )
             res = beam_decode(
                 params["decoder"], mem, mcfg.vocab_size, beam_width,
                 self.total_steps, max_steps, mcfg.effective_attention, mcfg.cell_type,
@@ -57,7 +64,9 @@ class BasecallEngine:
 
         def _greedy(params, raw, event, max_steps):
             enc_out, mask = encode_input(params, raw, event, mcfg)
-            mem = attn.setup_memory(params["decoder"]["attention"], enc_out, mask)
+            mem = attn.setup_memory(
+                params["decoder"]["attention"], enc_out, mask, self.memory_dtype
+            )
             tokens, logits = greedy_decode(
                 params["decoder"], mem, mcfg.vocab_size, self.total_steps,
                 max_steps, mcfg.effective_attention, mcfg.cell_type,

@@ -54,11 +54,20 @@ def init_attention(
     raise ValueError(f"unknown attention_type {attention_type}")
 
 
-def setup_memory(params: Params, memory: jnp.ndarray, mask: jnp.ndarray) -> AttnMemory:
+def setup_memory(
+    params: Params, memory: jnp.ndarray, mask: jnp.ndarray, dtype=None
+) -> AttnMemory:
     """Precompute keys from (masked) memory. ``memory``: [B, S, memory_dim],
-    ``mask``: [B, S] bool."""
+    ``mask``: [B, S] bool.
+
+    ``dtype=jnp.bfloat16`` stores keys/values in bf16 — the decode loop
+    re-reads the whole memory every step, so this halves the dominant HBM
+    traffic; score/context matmuls still accumulate in fp32."""
     values = jnp.where(mask[..., None], memory, 0.0)
     keys = values @ params["memory_kernel"]
+    if dtype is not None:
+        keys = keys.astype(dtype)
+        values = values.astype(dtype)
     return AttnMemory(keys=keys, values=values, mask=mask)
 
 
@@ -67,10 +76,16 @@ def attention_scores(
 ) -> jnp.ndarray:
     """Raw scores [B, S] for query [B, q_dim]."""
     if attention_type == "luong":
-        return jnp.einsum("bu,bsu->bs", query, mem.keys)
+        return jnp.einsum(
+            "bu,bsu->bs", query.astype(mem.keys.dtype), mem.keys,
+            preferred_element_type=jnp.float32,
+        )
     # bahdanau (non-normalized): sum(v * tanh(W_q q + keys))
     q = query @ params["query_kernel"]
-    return jnp.einsum("u,bsu->bs", params["attention_v"], jnp.tanh(q[:, None, :] + mem.keys))
+    return jnp.einsum(
+        "u,bsu->bs", params["attention_v"],
+        jnp.tanh(q[:, None, :] + mem.keys.astype(jnp.float32)),
+    )
 
 
 def attend(
@@ -80,7 +95,10 @@ def attend(
     scores = attention_scores(params, attention_type, query, mem)
     scores = jnp.where(mem.mask, scores, NEG_INF)
     align = jax.nn.softmax(scores, axis=-1)
-    context = jnp.einsum("bs,bse->be", align, mem.values)
+    context = jnp.einsum(
+        "bs,bse->be", align.astype(mem.values.dtype), mem.values,
+        preferred_element_type=jnp.float32,
+    )
     return context, align
 
 
@@ -94,15 +112,21 @@ def attend_beams(
     beam width). Returns (context [B, W, memory_dim], alignments [B, W, S]).
     """
     if attention_type == "luong":
-        scores = jnp.einsum("bwu,bsu->bws", query, mem.keys)
+        scores = jnp.einsum(
+            "bwu,bsu->bws", query.astype(mem.keys.dtype), mem.keys,
+            preferred_element_type=jnp.float32,
+        )
     else:
         q = query @ params["query_kernel"]  # [B, W, units]
         scores = jnp.einsum(
             "u,bwsu->bws",
             params["attention_v"],
-            jnp.tanh(q[:, :, None, :] + mem.keys[:, None, :, :]),
+            jnp.tanh(q[:, :, None, :] + mem.keys.astype(jnp.float32)[:, None, :, :]),
         )
     scores = jnp.where(mem.mask[:, None, :], scores, NEG_INF)
     align = jax.nn.softmax(scores, axis=-1)
-    context = jnp.einsum("bws,bse->bwe", align, mem.values)
+    context = jnp.einsum(
+        "bws,bse->bwe", align.astype(mem.values.dtype), mem.values,
+        preferred_element_type=jnp.float32,
+    )
     return context, align

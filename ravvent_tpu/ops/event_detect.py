@@ -1,0 +1,224 @@
+"""On-device event detection (JAX): fast5 raw in, event boundaries out.
+
+The TPU-native counterpart of the host event detector
+(ravvent_tpu/data/event_detector.py; reference:
+event_detection/event_detector.py): phase 1 computes both windows' Welch
+t-statistics for every sample with windowed sums (``lax.reduce_window`` —
+numerically robust, no global cumsum cancellation, embarrassingly parallel on
+the VPU); phase 2 runs the dual-detector peak state machine as a single
+``lax.scan`` over time, vectorized across a batch of reads.
+
+Parity domain: exact boundary agreement with the streaming detector for
+window configs with ``w2 <= 2*w1`` (covers the production windows 6/9; the
+early-sample u32 ring aliasing then reduces to a closed form — see
+data/event_detector.py docstring). detect_events_batch() asserts this.
+
+Event statistics (mean/stdv) are cheap per-event host work once boundaries
+are known; :func:`boundaries_to_events` computes them in float64 exactly like
+the streaming detector.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLT_MIN = 1.17549435e-38
+FLT_MAX = 3.40282347e38
+
+
+def _windowed_sums(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """sums[i] = x[i] + ... + x[i+w-1] (valid for i <= S-w; padded tail)."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, window_dimensions=(1, w), window_strides=(1, 1),
+        padding=((0, 0), (0, w - 1)),
+    )
+    return s
+
+
+def compute_tstats_device(raw: jnp.ndarray, w: int, w2: int) -> jnp.ndarray:
+    """Vectorized t-stat for window ``w`` over a batch of reads [B, S].
+
+    ``tstat[:, i]`` equals the streaming detector's value while processing
+    sample i (for the parity domain; see module docstring). With
+    m = i + 1 - w2 (buf_mid) and S_t[k] = sum of samples[0..k-1]:
+      sum1 = S_t[m] - S_t[m-w]   = samples[m-w .. m-1]
+      sum2 = S_t[m+w] - S_t[m]   = samples[m   .. m+w-1]
+    """
+    B, S = raw.shape
+    x = raw.astype(jnp.float32)
+    sums = _windowed_sums(x, w)
+    sumsq = _windowed_sums(x * x, w)
+
+    i = jnp.arange(S)
+    lo1 = i + 1 - w2 - w  # start of window1 (= m - w)
+    lo2 = i + 1 - w2  # start of window2 (= m)
+    idx1 = jnp.clip(lo1, 0, S - 1)
+    idx2 = jnp.clip(lo2, 0, S - 1)
+
+    sum1 = sums[:, idx1]
+    sumsq1 = sumsq[:, idx1]
+    sum2 = sums[:, idx2]
+    sumsq2 = sumsq[:, idx2]
+
+    # Early-sample aliasing (parity domain): when window1 starts before the
+    # read (lo1 < 0) but window2 is live, the streaming ring returns
+    # sum1 = sumsq1 = 0.
+    zero1 = (lo1 < 0)[None, :]
+    sum1 = jnp.where(zero1, 0.0, sum1)
+    sumsq1 = jnp.where(zero1, 0.0, sumsq1)
+
+    wf = float(w)
+    mean1 = sum1 / wf
+    mean2 = sum2 / wf
+    comb = sumsq1 / wf - mean1 * mean1 + sumsq2 / wf - mean2 * mean2
+    comb = jnp.maximum(comb, FLT_MIN)
+    tstat = jnp.abs(mean2 - mean1) / jnp.sqrt(comb / wf)
+
+    # quick return: t = i + 2 <= 2w (and window2 must fit in the read)
+    live = ((i + 2) > 2 * w)[None, :] & (lo2 >= 0)[None, :] & (lo2 + w <= S)[None, :]
+    if w < 2:
+        return jnp.zeros_like(tstat)
+    return jnp.where(live, tstat, 0.0)
+
+
+@partial(jax.jit, static_argnames=("w1", "w2"))
+def peak_scan_device(
+    tstat1: jnp.ndarray,  # [B, S]
+    tstat2: jnp.ndarray,
+    w1: int,
+    w2: int,
+    threshold1: float = 1.4,
+    threshold2: float = 9.0,
+    peak_height: float = 0.2,
+) -> jnp.ndarray:
+    """Dual-detector peak scan as one lax.scan over time (vectorized over
+    reads). Returns a bool [B, S] 'fired' mask: sample i fires => event end
+    at stream coordinate ``(i + 1 - w2) - w1 + 1``."""
+    B, S = tstat1.shape
+    neg = jnp.full((B,), FLT_MAX)
+
+    def body(carry, ts):
+        (s_pos, s_val, s_valid, l_pos, l_val, l_valid, l_masked) = carry
+        t1, t2, bm = ts  # bm = buf_mid as signed int32 (parity domain: >= -(w2-1))
+
+        # --- short detector (skipped when bm == 0: masked_to 0 >= 0) ---
+        run_s = bm != 0
+        in_case1 = s_pos == -1
+        # case 1
+        lower = t1 < s_val
+        rise = (t1 - s_val) > peak_height
+        s_val_c1 = jnp.where(lower, t1, jnp.where(rise, t1, s_val))
+        s_pos_c1 = jnp.where(rise & ~lower, bm, s_pos)
+        # case 2
+        upd = t1 > s_val
+        s_val_c2 = jnp.where(upd, t1, s_val)
+        s_pos_c2 = jnp.where(upd, bm, s_pos)
+        mask_long = s_val_c2 > threshold1
+        s_valid_c2 = s_valid | ((s_val_c2 - t1 > peak_height) & (s_val_c2 > threshold1))
+        fire_s = s_valid_c2 & ((bm - s_pos_c2) > (w1 / 2.0))
+        s_pos_new = jnp.where(in_case1, s_pos_c1, jnp.where(fire_s, -1, s_pos_c2))
+        s_val_new = jnp.where(in_case1, s_val_c1, jnp.where(fire_s, t1, s_val_c2))
+        s_valid_new = jnp.where(in_case1, s_valid, jnp.where(fire_s, False, s_valid_c2))
+        fire_s = fire_s & ~in_case1 & run_s
+        s_pos_new = jnp.where(run_s, s_pos_new, s_pos)
+        s_val_new = jnp.where(run_s, s_val_new, s_val)
+        s_valid_new = jnp.where(run_s, s_valid_new, s_valid)
+        do_mask = run_s & ~in_case1 & mask_long
+
+        # long detector reset by short masking
+        l_masked = jnp.where(do_mask, (s_pos_c2 + w1).astype(l_masked.dtype), l_masked)
+        l_pos = jnp.where(do_mask, -1, l_pos)
+        l_val = jnp.where(do_mask, neg, l_val)
+        l_valid = jnp.where(do_mask, False, l_valid)
+
+        # --- long detector ---
+        run_l = l_masked < bm
+        in_case1l = l_pos == -1
+        lowerl = t2 < l_val
+        risel = (t2 - l_val) > peak_height
+        l_val_c1 = jnp.where(lowerl, t2, jnp.where(risel, t2, l_val))
+        l_pos_c1 = jnp.where(risel & ~lowerl, bm, l_pos)
+        updl = t2 > l_val
+        l_val_c2 = jnp.where(updl, t2, l_val)
+        l_pos_c2 = jnp.where(updl, bm, l_pos)
+        l_valid_c2 = l_valid | ((l_val_c2 - t2 > peak_height) & (l_val_c2 > threshold2))
+        fire_l = l_valid_c2 & ((bm - l_pos_c2) > (w2 / 2.0))
+        l_pos_new = jnp.where(in_case1l, l_pos_c1, jnp.where(fire_l, -1, l_pos_c2))
+        l_val_new = jnp.where(in_case1l, l_val_c1, jnp.where(fire_l, t2, l_val_c2))
+        l_valid_new = jnp.where(in_case1l, l_valid, jnp.where(fire_l, False, l_valid_c2))
+        fire_l = fire_l & ~in_case1l & run_l
+        l_pos = jnp.where(run_l, l_pos_new, l_pos)
+        l_val = jnp.where(run_l, l_val_new, l_val)
+        l_valid = jnp.where(run_l, l_valid_new, l_valid)
+
+        fired = fire_s | fire_l
+        return (
+            (s_pos_new, s_val_new, s_valid_new, l_pos, l_val, l_valid, l_masked),
+            fired,
+        )
+
+    i = jnp.arange(S, dtype=jnp.int32)
+    bm_seq = i + 1 - w2  # signed; parity domain guarantees no u32 weirdness
+    init = (
+        jnp.full((B,), -1, jnp.int32), neg, jnp.zeros((B,), bool),
+        jnp.full((B,), -1, jnp.int32), neg, jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.int32),
+    )
+    ts = (tstat1.T, tstat2.T, jnp.broadcast_to(bm_seq[:, None], (S, B)))
+    _, fired = jax.lax.scan(body, init, ts)
+    return fired.T  # [B, S]
+
+
+def detect_boundaries_device(
+    raw: jnp.ndarray,  # [B, S] (padded reads)
+    w1: int = 6,
+    w2: int = 9,
+    threshold1: float = 1.4,
+    threshold2: float = 9.0,
+    peak_height: float = 0.2,
+) -> jnp.ndarray:
+    """Full on-device pass: returns bool [B, S] mask of event-end firings.
+
+    Event ends in stream coordinates: ``end = i + 2 - w2 - w1`` for fired
+    sample i. Only window configs with ``w2 <= 2*w1`` are in the exact-parity
+    domain."""
+    if w2 > 2 * w1:
+        raise ValueError(
+            "on-device event detection supports w2 <= 2*w1 (exact-parity "
+            "domain); use the host detector for other configs"
+        )
+    t1 = compute_tstats_device(raw, w1, w2)
+    t2 = compute_tstats_device(raw, w2, w2)
+    return peak_scan_device(t1, t2, w1, w2, threshold1, threshold2, peak_height)
+
+
+def boundaries_to_events(
+    raw: np.ndarray, fired: np.ndarray, w1: int = 6, w2: int = 9
+) -> np.ndarray:
+    """Host-side event assembly from a fired mask (float64, exactly the
+    streaming detector's statistics). Returns [n_events, 4]
+    (start, length, mean, stdv)."""
+    import math
+
+    idx = np.nonzero(fired)[0]
+    ends = idx + 2 - w2 - w1  # stream coordinates
+    S = np.concatenate(([0.0], np.cumsum(np.asarray(raw, np.float64))))
+    Sq = np.concatenate(([0.0], np.cumsum(np.asarray(raw, np.float64) ** 2)))
+    events = []
+    st, st_sum, st_sq = 0, 0.0, 0.0
+    for en in ends:
+        if en <= st:
+            continue
+        length = float(en - st)
+        e_sum, e_sq = S[en], Sq[en]
+        mean = (e_sum - st_sum) / length
+        deltasqr = e_sq - st_sq
+        stdv = math.sqrt(max(deltasqr / length - mean**2, FLT_MIN))
+        events.append((st, int(length), mean, stdv))
+        st, st_sum, st_sq = en, e_sum, e_sq
+    return np.array(events).reshape(-1, 4)

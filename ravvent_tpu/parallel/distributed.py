@@ -1,0 +1,108 @@
+"""Multi-host coordination and read sharding.
+
+The reference is single-process (SURVEY.md §2.3); this layer defines the
+multi-host story for pod slices:
+
+- process coordination via ``jax.distributed.initialize`` (DCN);
+- training: every host feeds its local shard of the global batch; the
+  ``('data',)`` mesh spans all chips, so XLA's gradient psum rides ICI;
+- inference: *reads* are the cross-host sharding unit (the per-read merge is
+  a sequential fold — merger.py:155-248 — so snippets of one read stay on
+  one host's chips, and hosts own disjoint read sets);
+- the files_info index (data_loader.py:129-156 schema) is deterministically
+  partitioned per host, extending the reference's JSON scheme to a per-host
+  shard map.
+
+Single-host multi-chip works with the same code (process_count == 1).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (no-op for single-process runs)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_info() -> tuple:
+    return jax.process_index(), jax.process_count()
+
+
+def shard_files_info(
+    files_info_path, process_id: Optional[int] = None, process_count: Optional[int] = None
+) -> List[dict]:
+    """Deterministic per-host partition of a files_info index: host p owns
+    reads p, p+P, p+2P, ... (round-robin keeps per-host work balanced since
+    the index is size-annotated)."""
+    if process_id is None:
+        process_id = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    with open(files_info_path, "rt") as f:
+        files_info = json.load(f)
+    return files_info[process_id::process_count]
+
+
+def balanced_shard_files_info(
+    files_info_path, process_id: Optional[int] = None, process_count: Optional[int] = None
+) -> List[dict]:
+    """Greedy balanced partition by snippet count (longest-processing-time
+    heuristic) — better than round-robin when read lengths are skewed."""
+    if process_id is None:
+        process_id = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    with open(files_info_path, "rt") as f:
+        files_info = json.load(f)
+    order = sorted(
+        range(len(files_info)),
+        key=lambda i: -files_info[i].get("snippets_num", 0),
+    )
+    loads = np.zeros(process_count, dtype=np.int64)
+    owner = np.zeros(len(files_info), dtype=np.int64)
+    for i in order:
+        p = int(np.argmin(loads))
+        owner[i] = p
+        loads[p] += files_info[i].get("snippets_num", 0)
+    return [fi for i, fi in enumerate(files_info) if owner[i] == process_id]
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The half-open row range of the global batch this host feeds."""
+    p, n = process_info()
+    per = global_batch // n
+    return slice(p * per, (p + 1) * per)
+
+
+def gather_read_results(results: Sequence[dict]) -> List[dict]:
+    """Gather per-read result dicts from all hosts (JSON payloads over the
+    jax multihost utils channel); host 0 receives the union, others their
+    own. Single-process: identity."""
+    if jax.process_count() == 1:
+        return list(results)
+    from jax.experimental import multihost_utils
+
+    payload = json.dumps(list(results))
+    gathered = multihost_utils.process_allgather(
+        np.frombuffer(payload.encode().ljust(1 << 20), dtype=np.uint8)
+    )
+    out: List[dict] = []
+    for row in np.asarray(gathered).reshape(jax.process_count(), -1):
+        out.extend(json.loads(bytes(row).rstrip(b"\x00").decode() or "[]"))
+    return out

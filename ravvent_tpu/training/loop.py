@@ -176,6 +176,7 @@ class Trainer:
             # batch would force a host sync per step — costly on
             # remote-attached devices). Callbacks opt back into per-batch sync.
             device_metrics = []
+            t_step0 = time.perf_counter()
             for i, batch in enumerate(train_gen.steps(steps_per_epoch)):
                 m = self.train_on_batch(batch)
                 device_metrics.append(m)
@@ -183,6 +184,13 @@ class Trainer:
                     lf, af = float(m["loss"]), float(m["acc"])
                     for cb in batch_callbacks:
                         cb(i, {"loss": lf, "acc": af})
+                if verbose and (i + 1) % 100 == 0:
+                    dt = time.perf_counter() - t_step0
+                    print(
+                        f"  step {i + 1}/{steps_per_epoch} "
+                        f"loss {float(m['loss']):.4f} ({dt / (i + 1):.3f}s/step)",
+                        flush=True,
+                    )
             n = len(device_metrics)
             tr_loss = sum(float(m["loss"]) for m in device_metrics)
             tr_acc = sum(float(m["acc"]) for m in device_metrics)

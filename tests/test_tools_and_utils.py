@@ -1,0 +1,162 @@
+"""Tests for the tools layer, IO utils, and distributed helpers."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ravvent_tpu.data import chiron, simulator
+from ravvent_tpu.evaluation.guppy import calculate_speed, parse_guppy_log
+from ravvent_tpu.tools.analyse_accuracies import compare_beams, get_np_results
+from ravvent_tpu.tools.params_search import (
+    evaluate_sequence,
+    get_best_params,
+    grid_search,
+)
+from ravvent_tpu.utils.io import (
+    create_minimal_fast5,
+    get_bases_sequence_from_chiron_dir,
+    read_fast5_signal,
+    train_val_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def mini_reads():
+    rng = np.random.default_rng(0)
+    pore = simulator.PoreModel()
+    reads = []
+    for i in range(2):
+        seq = simulator.random_genome(400, rng)
+        sig, _ = simulator.simulate_read(seq, rng, pore)
+        reads.append((sig, len(seq)))
+    return reads
+
+
+def test_params_search_prefers_reasonable_windows(mini_reads):
+    res = grid_search(mini_reads, wl1_range=[4, 6, 8], wl2_max=11)
+    (wl1, wl2), err = get_best_params(res)
+    assert err < 1.0
+    assert all(v >= 0 for v in res.values())
+    # the evaluated error for the winning pair matches a direct evaluation
+    direct = np.mean([evaluate_sequence(r, n, wl1, wl2) for r, n in mini_reads])
+    assert abs(direct - err) < 1e-12
+
+
+def test_event_max_estimation(tmp_path, mini_reads):
+    from ravvent_tpu.tools.event_max_estimation import events_per_snippet, summarize
+
+    rng = np.random.default_rng(1)
+    genome = simulator.random_genome(3000, rng)
+    simulator.generate_chiron_dataset(tmp_path, genome, n_reads=2, read_len_range=(600, 900))
+    counts = events_per_snippet(tmp_path)
+    s = summarize(counts)
+    assert 5 < s["max"] <= 40  # static MAX_EVENT_LEN=30 bound regime
+
+
+def test_analyse_accuracies_arrays():
+    res = {
+        "(2, 1)": {"raw": (83.9, 84.2, 0.0), "event": (72.1, 72.4, 0.0), "joint": (84.1, 84.3, 0.0)},
+    }
+    arr = get_np_results(res, ["(2, 1)"])
+    assert arr.shape == (3, 1, 3)
+    assert arr[0, 0, 0] == 83.9
+    d = compare_beams(arr * 0.99, arr)
+    assert d[0, 0] > 0
+
+
+def test_guppy_log_parsing_and_speed():
+    log = "Init time: 1234 ms\nCaller time: 5000 ms\nSamples called: 450000\n"
+    stats = parse_guppy_log(log)
+    assert stats == {"init_time_ms": 1234.0, "caller_time_ms": 5000.0, "samples_called": 450000.0}
+    sp = calculate_speed(stats, bases_num=50000)
+    assert sp["bases_per_s"] == 10000.0
+    assert sp["samples_per_s"] == 90000.0
+
+
+def test_fast5_roundtrip(tmp_path):
+    sig = np.arange(1000, dtype=np.int16)
+    p = tmp_path / "x.fast5"
+    create_minimal_fast5(sig, p)
+    back = read_fast5_signal(p)
+    np.testing.assert_array_equal(back, sig)
+
+
+def test_bases_sequence_concat(tmp_path):
+    rng = np.random.default_rng(2)
+    genome = simulator.random_genome(500, rng)
+    simulator.generate_chiron_dataset(tmp_path, genome, n_reads=2, read_len_range=(100, 150))
+    seq = get_bases_sequence_from_chiron_dir(tmp_path)
+    assert set(seq) <= set("ACGT")
+    assert len(seq) >= 200
+    assert get_bases_sequence_from_chiron_dir(tmp_path, max_length=50) == seq[:50]
+
+
+def test_train_val_test_split():
+    data = list(range(100))
+    tr, va, te = train_val_test_split(data, 0.8, 0.1, 0.1, random_state=0)
+    assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+    assert sorted(tr + va + te) == data
+    with pytest.raises(ValueError):
+        train_val_test_split(data, 0.5, 0.1, 0.1)
+
+
+def test_fix_invalid_reads(tmp_path):
+    from ravvent_tpu.tools.fix_invalid_reads import find_invalid, fix_results_file
+
+    results = [
+        {"path": "a.signal", "read_length": 100, "matches": 90, "total_block_len": 100,
+         "identity": 0.9, "ref_length": 100},
+        {"path": "b.signal", "read_length": 0, "matches": 0, "total_block_len": 0,
+         "identity": 0.0, "ref_length": 100},
+    ]
+    assert find_invalid(results) == [1]
+    rp = tmp_path / "res.json"
+    rp.write_text(json.dumps(results))
+
+    class FakeEvaluator:
+        def run(self, path):
+            return {"read_length": 90, "matches": 80, "total_block_len": 95, "identity": 0.84}
+
+    fixed = fix_results_file(rp, FakeEvaluator(), verbose=False)
+    assert fixed == 1
+    patched = json.loads(rp.read_text())
+    assert patched[1]["read_length"] == 90
+    assert patched[1]["ref_length"] == 100
+
+
+def test_distributed_shard_files_info(tmp_path):
+    from ravvent_tpu.parallel.distributed import balanced_shard_files_info, shard_files_info
+
+    info = [{"signal_path": f"r{i}.signal", "snippets_num": n}
+            for i, n in enumerate([100, 900, 300, 500, 250, 40])]
+    p = tmp_path / "fi.json"
+    p.write_text(json.dumps(info))
+    s0 = shard_files_info(p, 0, 2)
+    s1 = shard_files_info(p, 1, 2)
+    assert len(s0) + len(s1) == len(info)
+    assert {d["signal_path"] for d in s0}.isdisjoint(d["signal_path"] for d in s1)
+
+    b0 = balanced_shard_files_info(p, 0, 2)
+    b1 = balanced_shard_files_info(p, 1, 2)
+    l0 = sum(d["snippets_num"] for d in b0)
+    l1 = sum(d["snippets_num"] for d in b1)
+    assert abs(l0 - l1) <= 400  # greedy balance
+
+
+def test_plots_render(tmp_path):
+    from ravvent_tpu.tools import plots
+
+    rng = np.random.default_rng(3)
+    genome = simulator.random_genome(300, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    plots.plot_raw_with_bases(sig, ranges, genome, out=tmp_path / "raw.png")
+    plots.plot_event_detection(sig, out=tmp_path / "ed.png")
+    plots.plot_window_search_heatmap({(4, 7): 0.2, (4, 9): 0.15, (6, 9): 0.1},
+                                     out=tmp_path / "ws.png")
+    (tmp_path / "log.csv").write_text("epoch,acc,loss,val_acc,val_loss\n0,0.1,1.9,0.1,1.8\n1,0.3,1.2,0.2,1.4\n")
+    plots.plot_learning_curves(tmp_path / "log.csv", out=tmp_path / "lc.png")
+    plots.plot_accuracy_bars(["raw", "event", "joint"], [0.86, 0.75, 0.87],
+                             reference_values=[0.87, 0.76, 0.87], out=tmp_path / "bars.png")
+    for f in ("raw.png", "ed.png", "ws.png", "lc.png", "bars.png"):
+        assert (tmp_path / f).stat().st_size > 1000
