@@ -50,10 +50,30 @@ class CheckpointManager:
         return str(full)
 
     def restore(self, path: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Restore a checkpoint; a ``template`` covering only part of the
+        saved state (e.g. just ``params`` for inference) is allowed."""
         full = (self.base_dir / path).resolve()
-        if template is not None:
+        if template is None:
+            return self._ckpt.restore(full)
+        try:
             return self._ckpt.restore(full, template)
-        return self._ckpt.restore(full)
+        except ValueError:
+            # Template covers only part of the saved tree (e.g. params-only
+            # for inference) or the checkpoint was written on a different
+            # device type: restore everything as host numpy arrays.
+            return self.restore_numpy(path)
+
+    def restore_numpy(self, path: str) -> Dict[str, Any]:
+        """Restore a full checkpoint as host numpy arrays — portable across
+        device types (a TPU-written checkpoint loads on CPU and vice versa)."""
+        full = (self.base_dir / path).resolve()
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = ckptr.metadata(full).item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _m: ocp.RestoreArgs(restore_type=np.ndarray), tree,
+            is_leaf=lambda x: hasattr(x, "shape") or x is None,
+        )
+        return ckptr.restore(full, restore_args=restore_args)
 
     def latest_epoch(self, run_dir: str, prefix: str) -> Optional[int]:
         """Find the newest epoch checkpoint matching the reference naming

@@ -1,0 +1,93 @@
+"""Accuracy evaluation CLI — the reference's mapping-evaluator sweep as a tool.
+
+Runs read-level mapping evaluation for a trained checkpoint over a files_info
+index (reference: ravvent_mapping_evaluator.py:203-237 ``evaluate_specific``),
+writes per-read results incrementally, aggregates with the reference's
+ref-length-weighted identity, and can fold results into an
+``accuracy_results_all.<tag>.beam<k>.json`` file using the reference's schema
+(``{depth_key: {data_type: [total, valid, invalid%]}}``).
+
+  python tools/evaluate.py --checkpoint checkpoints/flagship \
+      --files-info datasets/sim_lambda/eval/files_info.test.snippets.stride_6.json \
+      --data-type joint --beam 5 --tag sim_lambda
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="checkpoints/flagship")
+    ap.add_argument("--files-info", required=True)
+    ap.add_argument("--data-type", default="joint", choices=["raw", "event", "joint"])
+    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--enc-units", type=int, default=128)
+    ap.add_argument("--dec-units", type=int, default=128)
+    ap.add_argument("--encoder-depth", type=int, default=2)
+    ap.add_argument("--decoder-depth", type=int, default=1)
+    ap.add_argument("--out-dir", default="info/mapping_evaluations")
+    ap.add_argument("--tag", default="sim_lambda")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cache-dir", default=None)
+    args = ap.parse_args()
+
+    from ravvent_tpu.config import ModelConfig
+    from ravvent_tpu.evaluation.basecall import BasecallEngine
+    from ravvent_tpu.evaluation.mapping import MappingEvaluator
+    from ravvent_tpu.models.basecaller import init_basecaller
+    from ravvent_tpu.training.checkpoints import CheckpointManager
+
+    cfg = ModelConfig(
+        enc_units=args.enc_units, dec_units=args.dec_units,
+        encoder_depth=args.encoder_depth, decoder_depth=args.decoder_depth,
+        data_type=args.data_type,
+    )
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    ckpt = Path(args.checkpoint)
+    if ckpt.exists():
+        cm = CheckpointManager(str(ckpt.parent))
+        params = cm.restore(ckpt.name, template={"params": params})["params"]
+        print(f"loaded {ckpt}", file=sys.stderr)
+    else:
+        print("WARNING: random weights (checkpoint missing)", file=sys.stderr)
+
+    engine = BasecallEngine(params, cfg, chunk_size=1024)
+    ev = MappingEvaluator(engine, beam_width=args.beam, cache_dir=args.cache_dir)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    depth_key = f"({args.encoder_depth}, {args.decoder_depth})"
+    res_path = out_dir / (
+        f"mapping_evaluator_results.{args.tag}.{args.data_type}."
+        f"encd{args.encoder_depth}.decd{args.decoder_depth}.beam{args.beam}.json"
+    )
+    ev.evaluate_files(args.files_info, res_path)
+    total, valid, invalid = ev.compute_total_results(res_path)
+    print(f"identity total/valid/invalid%: {total} / {valid} / {invalid}")
+
+    # fold into the reference's accuracy_results_all schema
+    all_path = out_dir / f"accuracy_results_all.{args.tag}.beam{args.beam}.json"
+    all_res = {}
+    if all_path.exists():
+        all_res = json.loads(all_path.read_text())
+    all_res.setdefault(depth_key, {})[args.data_type] = [total, valid, invalid]
+    all_path.write_text(json.dumps(all_res, indent=2))
+    print(f"aggregated -> {all_path}")
+
+
+if __name__ == "__main__":
+    main()
