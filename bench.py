@@ -94,14 +94,21 @@ def load_flagship():
     return cfg, params, trained
 
 
-def run_bench(beam_width: int = 5, chunk_size: int = 1024, with_identity: bool = True):
+def run_bench(beam_width: int = 5, chunk_size: int = 1024, with_identity: bool = True,
+              bf16_memory: bool = False, project_values: bool = False):
+    import jax.numpy as jnp
+
     from ravvent_tpu.evaluation.basecall import BasecallEngine
     from ravvent_tpu.evaluation.mapping import MappingEvaluator
     from ravvent_tpu.evaluation.performance import PerformanceEvaluator
 
     fi = ensure_dataset()
     cfg, params, trained = load_flagship()
-    engine = BasecallEngine(params, cfg, chunk_size=chunk_size)
+    engine = BasecallEngine(
+        params, cfg, chunk_size=chunk_size,
+        memory_dtype=jnp.bfloat16 if bf16_memory else None,
+        project_values=project_values,
+    )
 
     # Warm up the compact-path compile (steady-state throughput is the
     # metric; compile results are also cached across runs).
@@ -127,6 +134,8 @@ def run_bench(beam_width: int = 5, chunk_size: int = 1024, with_identity: bool =
 
     details = {
         "device": str(jax.devices()[0]),
+        "bf16_memory": bf16_memory,
+        "project_values": project_values,
         "beam_width": beam_width,
         "chunk_size": chunk_size,
         "trained_checkpoint": trained,
@@ -155,12 +164,18 @@ def main():
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--no-identity", action="store_true")
+    ap.add_argument("--bf16-memory", action=argparse.BooleanOptionalAction, default=True,
+                    help="store attention memory in bf16 (halves decode HBM traffic; "
+                         "identity cost measured at ~0.1pt)")
+    ap.add_argument("--project-values", action=argparse.BooleanOptionalAction, default=True,
+                    help="pre-project attention values (equivalent math, less traffic)")
     args = ap.parse_args()
 
     if args.record_baseline and not args.cpu:
         ap.error("--record-baseline requires --cpu (the baseline is the CPU run)")
 
-    details = run_bench(args.beam, args.chunk, with_identity=not args.no_identity)
+    details = run_bench(args.beam, args.chunk, with_identity=not args.no_identity,
+                        bf16_memory=args.bf16_memory, project_values=args.project_values)
     with open(DETAILS_FILE, "wt") as f:
         json.dump(details, f, indent=2)
 

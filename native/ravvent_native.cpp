@@ -12,6 +12,7 @@
 // ravvent_tpu/assembly/alignment.py); parity is enforced by tests.
 
 #include <cstdint>
+#include <string>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -389,6 +390,169 @@ int rv_banded_global(const char* q, long n, const char* r, long m,
   *matches_out = matches;
   *cols_out = cols;
   return 1;
+}
+
+}  // extern "C"
+
+namespace {
+
+// Internal Smith-Waterman-Gotoh core (pairwise2 conventions) returning the
+// full-length gapped pair. Tie-breaking matches the Python oracle exactly
+// (see rv_local_align docs). Returns gapped length, 0 if no positive score.
+long local_align_core(const char* s1, long n, const char* s2, long m,
+                      double match, double mismatch,
+                      double gap_open, double gap_extend,
+                      const double* submat,
+                      std::string& o1, std::string& o2, double* score_out) {
+  if (n == 0 || m == 0) return 0;
+  auto sub = [&](char a, char b) -> double {
+    if (!submat) return a == b ? match : mismatch;
+    auto idx = [](char c) -> int {
+      switch (c) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': return 3;
+      }
+      return 0;
+    };
+    return submat[idx(a) * 4 + idx(b)];
+  };
+  const long W = m + 1;
+  std::vector<double> H((n + 1) * W, 0.0), E((n + 1) * W, kNeg), F((n + 1) * W, kNeg);
+  std::vector<int8_t> TB((n + 1) * W, 0), TE((n + 1) * W, 0), TF((n + 1) * W, 0);
+  double best_score = 0.0;
+  long bi = 0, bj = 0;
+  for (long i = 1; i <= n; ++i) {
+    double e = kNeg;
+    for (long j = 1; j <= m; ++j) {
+      const long c = i * W + j;
+      double f_open = H[(i - 1) * W + j] + gap_open;
+      double f_ext = F[(i - 1) * W + j] + gap_extend;
+      if (f_ext > f_open) { F[c] = f_ext; TF[c] = 1; } else { F[c] = f_open; TF[c] = 0; }
+      double e_open = H[c - 1] + gap_open;
+      double e_ext = e + gap_extend;
+      if (e_ext > e_open) { e = e_ext; TE[c] = 1; } else { e = e_open; TE[c] = 0; }
+      E[c] = e;
+      double bestv = 0.0;
+      int8_t tb = 0;
+      double d = H[(i - 1) * W + (j - 1)] + sub(s1[i - 1], s2[j - 1]);
+      if (d > bestv) { bestv = d; tb = 1; }
+      if (F[c] > bestv) { bestv = F[c]; tb = 2; }
+      if (e > bestv) { bestv = e; tb = 3; }
+      H[c] = bestv;
+      TB[c] = tb;
+      if (bestv > best_score) { best_score = bestv; bi = i; bj = j; }
+    }
+  }
+  if (best_score <= 0.0) return 0;
+  std::vector<char> c1, c2;
+  long i = bi, j = bj;
+  int state = 0;
+  while (i > 0 || j > 0) {
+    const long c = i * W + j;
+    if (state == 0) {
+      int8_t tb = TB[c];
+      if (tb == 0) break;
+      if (tb == 1) { c1.push_back(s1[i - 1]); c2.push_back(s2[j - 1]); --i; --j; }
+      else if (tb == 2) state = 1;
+      else state = 2;
+    } else if (state == 1) {
+      c1.push_back(s1[i - 1]); c2.push_back('-');
+      int8_t ext = TF[c];
+      --i;
+      state = ext ? 1 : 0;
+    } else {
+      c1.push_back('-'); c2.push_back(s2[j - 1]);
+      int8_t ext = TE[c];
+      --j;
+      state = ext ? 2 : 0;
+    }
+  }
+  long st1 = i, st2 = j;
+  std::reverse(c1.begin(), c1.end());
+  std::reverse(c2.begin(), c2.end());
+  o1.clear(); o2.clear();
+  o1.reserve(n + m); o2.reserve(n + m);
+  for (long k = 0; k < st1; ++k) { o1.push_back(s1[k]); o2.push_back('-'); }
+  for (long k = 0; k < st2; ++k) { o1.push_back('-'); o2.push_back(s2[k]); }
+  for (size_t k = 0; k < c1.size(); ++k) { o1.push_back(c1[k]); o2.push_back(c2[k]); }
+  for (long k = bi; k < n; ++k) { o1.push_back(s1[k]); o2.push_back('-'); }
+  for (long k = bj; k < m; ++k) { o1.push_back('-'); o2.push_back(s2[k]); }
+  *score_out = best_score;
+  return (long)o1.size();
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Whole-read overlap merge (the Merger.merge fold, reference merger.py:155-248)
+// executed natively: snippet sequences concatenated in `seqs` with
+// `offsets[n+1]` boundaries, per-base scores concatenated in `logits`.
+// Writes merged sequence/logits; returns merged length (caller provides
+// out_cap >= total chars + 26).
+// ---------------------------------------------------------------------------
+long rv_merge_read(const char* seqs, const long* offsets, const double* logits,
+                   long n_snippets,
+                   double match, double mismatch,
+                   double gap_open, double gap_extend,
+                   const double* submat, long overlap_len,
+                   char* out_seq, double* out_logits, long out_cap) {
+  if (n_snippets <= 0) return 0;
+  std::string merged(seqs + offsets[0], seqs + offsets[1]);
+  std::vector<double> mlog(logits + offsets[0], logits + offsets[1]);
+  bool merge_flag = false;
+  std::string a1, a2;
+  for (long i = 1; i < n_snippets; ++i) {
+    const char* app = seqs + offsets[i];
+    long app_len = offsets[i + 1] - offsets[i];
+    const double* app_log = logits + offsets[i];
+    long ov1 = std::min<long>(overlap_len, (long)merged.size());
+    long ov2 = std::min<long>(overlap_len, app_len);
+    const char* s1 = merged.data() + merged.size() - ov1;
+    const double* l1 = mlog.data() + mlog.size() - ov1;
+    double score;
+    long glen = local_align_core(s1, ov1, app, ov2, match, mismatch,
+                                 gap_open, gap_extend, submat, a1, a2, &score);
+    if (glen == 0) {
+      if (!merge_flag) {
+        merged.assign(app, app + app_len);
+        mlog.assign(app_log, app_log + app_len);
+        continue;
+      } else {
+        break;  // reference returns the accumulated merge immediately
+      }
+    }
+    merge_flag = true;
+    // gap-align logits and resolve columns by higher score
+    std::string mseq;
+    std::vector<double> mlg;
+    mseq.reserve(glen);
+    mlg.reserve(glen);
+    long i1 = 0, i2 = 0;
+    for (long k = 0; k < glen; ++k) {
+      char n1 = a1[k], n2 = a2[k];
+      double g1 = (n1 == '-') ? -1.0 : l1[i1++];
+      double g2 = (n2 == '-') ? -1.0 : app_log[i2++];
+      if (n1 == '-') { mseq.push_back(n2); mlg.push_back(g2); }
+      else if (n2 == '-') { mseq.push_back(n1); mlg.push_back(g1); }
+      else if (g2 > g1) { mseq.push_back(n2); mlg.push_back(g2); }
+      else { mseq.push_back(n1); mlg.push_back(g1); }
+    }
+    merged.resize(merged.size() - ov1);
+    mlog.resize(mlog.size() - ov1);
+    merged += mseq;
+    merged.append(app + ov2, app + app_len);
+    mlog.insert(mlog.end(), mlg.begin(), mlg.end());
+    mlog.insert(mlog.end(), app_log + ov2, app_log + app_len);
+  }
+  long out_len = std::min<long>((long)merged.size(), out_cap - 1);
+  std::memcpy(out_seq, merged.data(), out_len);
+  out_seq[out_len] = '\0';
+  std::memcpy(out_logits, mlog.data(), out_len * sizeof(double));
+  return out_len;
 }
 
 }  // extern "C"

@@ -159,7 +159,36 @@ class Merger:
         )
 
     def merge(self, nuc_pred_snippets: List[SeqLogitsPair]) -> SeqLogitsPair:
-        """Fold over snippet predictions (reference: merger.py:155-248)."""
+        """Fold over snippet predictions (reference: merger.py:155-248).
+
+        The whole fold runs in the native library when available (one call
+        per read instead of one alignment call per snippet pair); the Python
+        fold below is the behavior oracle."""
+        if self.use_native and len(nuc_pred_snippets) > 1:
+            try:
+                from ravvent_tpu.ops import native
+
+                if native.available():
+                    sc = SCORE_SETS[self.scores_id]
+                    if "matrix" in sc:
+                        out = native.merge_read(
+                            [p.seq for p in nuc_pred_snippets],
+                            [p.logits for p in nuc_pred_snippets],
+                            0.0, 0.0, sc["gap_open"], sc["gap_extend"],
+                            self.overlap_seq_len, submat=_submat_array(sc["matrix"]),
+                        )
+                    else:
+                        out = native.merge_read(
+                            [p.seq for p in nuc_pred_snippets],
+                            [p.logits for p in nuc_pred_snippets],
+                            sc["match"], sc["mismatch"], sc["gap_open"],
+                            sc["gap_extend"], self.overlap_seq_len,
+                        )
+                    if out is not None:
+                        return SeqLogitsPair(out[0], out[1])
+            except Exception:
+                logger.exception("native merge failed; falling back to python")
+
         seq_merged = nuc_pred_snippets[0].seq
         logits_merged = nuc_pred_snippets[0].logits
         merge_flag = False

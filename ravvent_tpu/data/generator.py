@@ -129,28 +129,44 @@ class SnippetBatchGenerator:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         n = len(self)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer() -> None:
             try:
                 for i in range(n):
-                    q.put(("ok", self[i]))
+                    if stop.is_set() or not _put(("ok", self[i])):
+                        return
             except Exception as exc:  # pragma: no cover
-                q.put(("err", exc))
+                _put(("err", exc))
             finally:
-                q.put(("done", None))
+                _put(("done", None))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            kind, item = q.get()
-            if kind == "ok":
-                yield item
-            elif kind == "err":
-                raise item
-            else:
-                break
-        t.join()
-        self.on_epoch_end()
+        try:
+            while True:
+                kind, item = q.get()
+                if kind == "ok":
+                    yield item
+                elif kind == "err":
+                    raise item
+                else:
+                    break
+            self.on_epoch_end()
+        finally:
+            # Unblock the producer if the consumer abandons the epoch early
+            # (e.g. steps() reached its budget mid-epoch).
+            stop.set()
+            t.join(timeout=5)
 
     def steps(self, num_steps: int) -> Iterator[Batch]:
         """Yield exactly ``num_steps`` batches, cycling epochs as needed

@@ -75,7 +75,7 @@ def beam_decode(
     max_steps = jnp.asarray(max_steps, jnp.int32)
 
     dec_units = dec_params["fc"]["kernel"].shape[0]
-    state0 = dec.zero_state(dec_params, B * W, dec_units, cell_type, mem.values.dtype)
+    state0 = dec.zero_state(dec_params, B * W, dec_units, cell_type, jnp.float32)
     start_emb = dec.embed(jnp.full((B * W,), start_token), V)
 
     cum0 = jnp.tile(
@@ -92,9 +92,11 @@ def beam_decode(
         context, _ = attn.attend_beams(
             dec_params["attention"], attention_type, _unfold(query, B, W), mem
         )
-        attention_vec, logits = dec.output_block(
-            dec_params, query, _fold(context)
-        )
+        if mem.projected:
+            attention_vec = query @ mem.watt_h + _fold(context)
+            logits = dec.dense(dec_params["fc"], attention_vec)
+        else:
+            attention_vec, logits = dec.output_block(dec_params, query, _fold(context))
         return dec.DecoderState(cells=new_cells, attention=attention_vec), logits
 
     def body(carry, t):

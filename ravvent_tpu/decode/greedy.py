@@ -48,7 +48,7 @@ def greedy_decode(
     """
     B = mem.values.shape[0]
     dec_units = dec_params["fc"]["kernel"].shape[0]
-    state0 = dec.zero_state(dec_params, B, dec_units, cell_type, mem.values.dtype)
+    state0 = dec.zero_state(dec_params, B, dec_units, cell_type, jnp.float32)
     start_emb = dec.embed(jnp.full((B,), start_token), vocab_size)
     if max_steps is None:
         max_steps = total_steps

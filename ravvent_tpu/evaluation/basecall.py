@@ -37,22 +37,33 @@ class BasecallEngine:
         chunk_size: int = 1024,
         total_steps: int = MAX_TARGET_LEN - 1,
         memory_dtype=None,
+        project_values: bool = False,
     ) -> None:
         """``memory_dtype=jnp.bfloat16`` stores the attention memory
         (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
-        at a small numeric cost (validated against identity in bench)."""
+        at a small numeric cost (validated against identity in bench).
+        ``project_values`` pre-projects values through the attention layer
+        (mathematically equivalent, another third less traffic)."""
         self.params = params
         self.cfg = cfg
         self.chunk_size = chunk_size
         self.total_steps = total_steps
         self.memory_dtype = memory_dtype
+        self.project_values = project_values
+
         mcfg = cfg
+
+        def _setup(params, enc_out, mask):
+            return attn.setup_memory(
+                params["decoder"]["attention"], enc_out, mask, self.memory_dtype,
+                attention_layer=(
+                    params["decoder"]["attention_layer"] if self.project_values else None
+                ),
+            )
 
         def _beam(params, raw, event, max_steps, beam_width):
             enc_out, mask = encode_input(params, raw, event, mcfg)
-            mem = attn.setup_memory(
-                params["decoder"]["attention"], enc_out, mask, self.memory_dtype
-            )
+            mem = _setup(params, enc_out, mask)
             res = beam_decode(
                 params["decoder"], mem, mcfg.vocab_size, beam_width,
                 self.total_steps, max_steps, mcfg.effective_attention, mcfg.cell_type,
@@ -64,9 +75,7 @@ class BasecallEngine:
 
         def _greedy(params, raw, event, max_steps):
             enc_out, mask = encode_input(params, raw, event, mcfg)
-            mem = attn.setup_memory(
-                params["decoder"]["attention"], enc_out, mask, self.memory_dtype
-            )
+            mem = _setup(params, enc_out, mask)
             tokens, logits = greedy_decode(
                 params["decoder"], mem, mcfg.vocab_size, self.total_steps,
                 max_steps, mcfg.effective_attention, mcfg.cell_type,

@@ -18,7 +18,7 @@ stateful ``attention_mechanism.setup_memory`` (reference: basecaller.py:237).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +32,19 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 class AttnMemory(NamedTuple):
     keys: jnp.ndarray  # [B, S, units]
-    values: jnp.ndarray  # [B, S, memory_dim] (masked positions zeroed)
+    values: jnp.ndarray  # [B, S, memory_dim] — or pre-projected [B, S, units]
     mask: jnp.ndarray  # [B, S] bool
+    # When projected=True, ``values`` already carries values @ W_att[U:] (the
+    # context half of the AttentionWrapper attention_layer), and ``watt_h``
+    # holds W_att[:U] (the cell-output half). The attention vector is then
+    #   att = query @ watt_h + align @ values
+    # — associativity-equivalent to Dense([query; context]) but reading
+    # units (128) instead of memory_dim (256) floats per position per step.
+    watt_h: Optional[jnp.ndarray] = None
+
+    @property
+    def projected(self) -> bool:
+        return self.watt_h is not None
 
 
 def init_attention(
@@ -55,20 +66,32 @@ def init_attention(
 
 
 def setup_memory(
-    params: Params, memory: jnp.ndarray, mask: jnp.ndarray, dtype=None
+    params: Params, memory: jnp.ndarray, mask: jnp.ndarray, dtype=None,
+    attention_layer: Optional[Params] = None,
 ) -> AttnMemory:
     """Precompute keys from (masked) memory. ``memory``: [B, S, memory_dim],
     ``mask``: [B, S] bool.
 
     ``dtype=jnp.bfloat16`` stores keys/values in bf16 — the decode loop
     re-reads the whole memory every step, so this halves the dominant HBM
-    traffic; score/context matmuls still accumulate in fp32."""
+    traffic; score/context matmuls still accumulate in fp32.
+
+    Passing the AttentionWrapper ``attention_layer`` params additionally
+    pre-projects the values through the context half of that layer (see
+    AttnMemory.projected) — mathematically the same attention vector with a
+    third less per-step memory traffic."""
     values = jnp.where(mask[..., None], memory, 0.0)
     keys = values @ params["memory_kernel"]
+    watt_h = None
+    if attention_layer is not None:
+        U = keys.shape[-1]
+        kernel = attention_layer["kernel"]  # [U + E, U]
+        watt_h = kernel[:U]
+        values = values @ kernel[U:]
     if dtype is not None:
         keys = keys.astype(dtype)
         values = values.astype(dtype)
-    return AttnMemory(keys=keys, values=values, mask=mask)
+    return AttnMemory(keys=keys, values=values, mask=mask, watt_h=watt_h)
 
 
 def attention_scores(

@@ -119,7 +119,13 @@ def decoder_step(
     x = jnp.concatenate([token_emb, state.attention], axis=-1)
     new_cells, query = cells_apply(params, state.cells, x, cell_type)
     context, align = attn.attend(params["attention"], attention_type, query, mem)
-    attention_vec, logits = output_block(params, query, context)
+    if mem.projected:
+        # pre-projected memory (see AttnMemory.watt_h): context is already
+        # in attention-vector space
+        attention_vec = query @ mem.watt_h + context
+        logits = dense(params["fc"], attention_vec)
+    else:
+        attention_vec, logits = output_block(params, query, context)
     return DecoderState(cells=new_cells, attention=attention_vec), logits, align
 
 

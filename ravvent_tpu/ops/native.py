@@ -68,6 +68,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
         ]
+        lib.rv_merge_read.restype = ctypes.c_long
+        lib.rv_merge_read.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+        ]
         lib.rv_banded_global.restype = ctypes.c_int
         lib.rv_banded_global.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
@@ -151,3 +159,39 @@ def banded_global_identity(
     if not ok:
         return 0, 0, float("-inf")
     return matches.value, cols.value, score.value
+
+
+def merge_read(
+    seqs, logits_list, match: float, mismatch: float,
+    gap_open: float, gap_extend: float, overlap_len: int = 25,
+    submat: Optional[np.ndarray] = None,
+):
+    """Native whole-read overlap merge (reference merger.py:155-248 fold).
+    ``seqs``: list[str]; ``logits_list``: list of per-base score lists.
+    Returns (merged_seq, merged_logits) or None if the library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    blob = "".join(seqs).encode()
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    flat_logits = np.ascontiguousarray(
+        np.concatenate([np.asarray(l, dtype=np.float64) for l in logits_list])
+        if any(len(l) for l in logits_list) else np.zeros(0)
+    )
+    if flat_logits.size != offsets[-1]:
+        raise ValueError("logits/seq length mismatch")
+    cap = int(offsets[-1]) + overlap_len + 2
+    out_seq = ctypes.create_string_buffer(cap)
+    out_log = np.empty(cap, dtype=np.float64)
+    sm = (
+        submat.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if submat is not None else None
+    )
+    n = lib.rv_merge_read(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        flat_logits.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(seqs), match, mismatch, gap_open, gap_extend, sm, overlap_len,
+        out_seq, out_log.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
+    )
+    return out_seq.value.decode(), out_log[:n].tolist()

@@ -192,15 +192,18 @@ class Trainer:
                         flush=True,
                     )
             n = len(device_metrics)
-            tr_loss = sum(float(m["loss"]) for m in device_metrics)
-            tr_acc = sum(float(m["acc"]) for m in device_metrics)
+            # One bulk device_get instead of 2n sequential scalar syncs
+            # (each costs a transport round trip on remote devices).
+            host_metrics = jax.device_get(device_metrics)
+            tr_loss = sum(float(m["loss"]) for m in host_metrics)
+            tr_acc = sum(float(m["acc"]) for m in host_metrics)
             metrics = {"loss": tr_loss / max(n, 1), "acc": tr_acc / max(n, 1)}
 
             if val_gen is not None:
-                vms = [
-                    self.validate_on_batch(batch)
-                    for batch in val_gen.steps(validation_steps)
-                ]
+                vms = jax.device_get(
+                    [self.validate_on_batch(batch)
+                     for batch in val_gen.steps(validation_steps)]
+                )
                 vn = len(vms)
                 metrics["val_loss"] = sum(float(m["loss"]) for m in vms) / max(vn, 1)
                 metrics["val_acc"] = sum(float(m["acc"]) for m in vms) / max(vn, 1)

@@ -85,6 +85,51 @@ def run_external_event_detection(
         subprocess.run(shlex.split(cmd), stdout=f)
 
 
+def generate_event_detection_for_chiron(
+    chiron_dir, detect_events_path=None, boilerplate_fast5_file=None,
+    win_len1: int = 5, win_len2: int = 13,
+) -> None:
+    """Batch-convert a chiron dir to ``.eventdetection`` files
+    (reference: utils.py:104-121): per read, crop the signal to the labeled
+    region, write a fast5, run event detection, remove the fast5.
+
+    Without the external ``detect_events`` binary, the built-in detector
+    (ravvent_tpu.data.event_detector) produces the events directly — same
+    output format (start length mean stdv rows)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from ravvent_tpu.data.event_detector import detect_events
+
+    d = Path(chiron_dir)
+    signal_paths = sorted(p for p in d.iterdir() if p.suffix == ".signal")
+    labels_paths = sorted(p for p in d.iterdir() if p.suffix == ".label")
+    for signal_path, label_path in zip(signal_paths, labels_paths):
+        signal = np.loadtxt(signal_path)
+        labels = np.loadtxt(label_path, dtype="object")
+        if labels.ndim == 1:
+            labels = labels.reshape(1, -1)
+        ranges_ids = labels[:, 0:2].astype("int")
+        signal = signal[ranges_ids[0][0] : ranges_ids[-1][1]]
+        ed_path = signal_path.with_suffix(".eventdetection")
+        if detect_events_path is not None:
+            fast5_path = signal_path.with_suffix(".fast5")
+            if boilerplate_fast5_file is not None:
+                create_fast5_from_raw_values(signal, boilerplate_fast5_file, fast5_path)
+            else:
+                create_minimal_fast5(signal, fast5_path)
+            run_external_event_detection(
+                detect_events_path, fast5_path, ed_path, win_len1, win_len2
+            )
+            fast5_path.unlink()
+        else:
+            ev = detect_events(signal, win_len1, win_len2)
+            with open(ed_path, "wt") as f:
+                for s, ln, m, sd in ev:
+                    f.write(f"{int(s)}\t{int(ln)}\t{m:.6f}\t{sd:.6f}\n")
+
+
 def train_val_test_split(
     data: Sequence,
     train_size: float = 0.8,

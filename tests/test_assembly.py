@@ -132,3 +132,32 @@ def test_banded_identity_perfect_match():
     s = "ACGT" * 100
     matches, cols, _ = banded_global_identity(s, s)
     assert matches == cols == 400
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+@pytest.mark.parametrize("seed", range(5))
+def test_native_merge_fold_matches_python(seed):
+    """The native whole-read merge must equal the Python fold exactly,
+    including no-alignment keep/reset/early-return paths."""
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    read = "".join(rng.choice(bases, 400))
+    snips = []
+    step, width = 8, 28
+    for s in range(0, len(read) - width + 1, step):
+        chunk = read[s : s + width]
+        # inject occasional garbage/empty snippets to hit fallback paths
+        r = rng.random()
+        if r < 0.05:
+            chunk = ""
+        elif r < 0.1:
+            chunk = "".join(rng.choice(bases, width))
+        logits = rng.random(len(chunk)).round(3).tolist()
+        snips.append(SeqLogitsPair(chunk, logits))
+
+    m_py = Merger(use_native=False)
+    m_py_res = m_py.merge(snips)
+    m_nat = Merger(use_native=True)
+    m_nat_res = m_nat.merge(snips)
+    assert m_nat_res.seq == m_py_res.seq
+    np.testing.assert_allclose(m_nat_res.logits, m_py_res.logits, rtol=1e-12)

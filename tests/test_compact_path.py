@@ -43,3 +43,24 @@ def test_compact_matches_materialized(tmp_path):
     t2, p2 = engine.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
     np.testing.assert_array_equal(t1, t2)
     np.testing.assert_allclose(p1, p2, rtol=2e-2, atol=1e-3)  # bf16 download
+
+
+def test_projected_memory_matches_baseline(tmp_path):
+    """project_values=True is mathematically equivalent: identical tokens,
+    probs equal to fp32 tolerance."""
+    rng = np.random.default_rng(4)
+    genome = simulator.random_genome(1500, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    sp, lp = tmp_path / "r.signal", tmp_path / "r.label"
+    chiron.write_read(sp, lp, sig, ranges, genome)
+    raw, event, nuc = load_read_snippets(sp, lp, stride=6)
+
+    cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    max_len = int((nuc != 0).sum(axis=1).max())
+    base = BasecallEngine(params, cfg, chunk_size=64)
+    proj = BasecallEngine(params, cfg, chunk_size=64, project_values=True)
+    t1, p1 = base.predict_beam(raw, event, max_len, 3)
+    t2, p2 = proj.predict_beam(raw, event, max_len, 3)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
