@@ -38,17 +38,26 @@ class BasecallEngine:
         total_steps: int = MAX_TARGET_LEN - 1,
         memory_dtype=None,
         project_values: bool = False,
+        use_fused_beam: bool = False,
     ) -> None:
         """``memory_dtype=jnp.bfloat16`` stores the attention memory
         (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
         at a small numeric cost (validated against identity in bench).
         ``project_values`` pre-projects values through the attention layer
-        (mathematically equivalent, another third less traffic)."""
+        (mathematically equivalent, another third less traffic).
+        ``use_fused_beam`` runs the whole beam loop as one Pallas kernel with
+        the memory resident in VMEM (implies project_values; flagship config
+        only: Luong, depth-1 LSTM)."""
         self.params = params
         self.cfg = cfg
         self.chunk_size = chunk_size
         self.total_steps = total_steps
         self.memory_dtype = memory_dtype
+        self.use_fused_beam = use_fused_beam
+        if use_fused_beam:
+            assert cfg.effective_attention == "luong" and cfg.cell_type == "lstm"
+            assert cfg.decoder_depth == 1
+            project_values = True
         self.project_values = project_values
 
         mcfg = cfg
@@ -63,11 +72,25 @@ class BasecallEngine:
 
         def _beam(params, raw, event, max_steps, beam_width):
             enc_out, mask = encode_input(params, raw, event, mcfg)
-            mem = _setup(params, enc_out, mask)
-            res = beam_decode(
-                params["decoder"], mem, mcfg.vocab_size, beam_width,
-                self.total_steps, max_steps, mcfg.effective_attention, mcfg.cell_type,
-            )
+            if self.use_fused_beam:
+                from ravvent_tpu.ops.beam_loop_pallas import beam_loop_decode
+
+                S = enc_out.shape[1]
+                S_p = ((S + 7) // 8) * 8
+                enc_out = jnp.pad(enc_out, ((0, 0), (0, S_p - S), (0, 0)))
+                mask = jnp.pad(mask, ((0, 0), (0, S_p - S)))
+                mem = _setup(params, enc_out, mask)
+                res = beam_loop_decode(
+                    params["decoder"], mem, mcfg.vocab_size, beam_width,
+                    self.total_steps, max_steps,
+                )
+            else:
+                mem = _setup(params, enc_out, mask)
+                res = beam_decode(
+                    params["decoder"], mem, mcfg.vocab_size, beam_width,
+                    self.total_steps, max_steps, mcfg.effective_attention,
+                    mcfg.cell_type,
+                )
             top_tokens = res.tokens[:, :, 0]
             top_scores = res.scores[:, :, 0]
             probs = beam_scores_to_step_probs(top_scores)

@@ -1,0 +1,338 @@
+"""Pallas TPU kernel: the ENTIRE beam-search decode loop in one program.
+
+The XLA beam path (ravvent_tpu/decode/beam.py) re-reads the attention memory
+from HBM on every one of the ~47 decode steps — the dominant traffic of the
+whole basecaller. This kernel keeps each batch tile's keys/values resident in
+VMEM across the full loop (memory leaves HBM exactly once per read) together
+with all weights and beam state, and runs cell + attention + projections +
+beam bookkeeping per step on-core:
+
+  per step: one-hot embed -> LSTM gates -> Luong scores over resident memory
+  -> masked softmax -> (pre-projected) context -> attention vector -> logits
+  -> cumulative log-probs with finished-beam end-token continuation ->
+  top-W via iterated argmax -> beam-permutation of state by one-hot matmul.
+
+Token/parent/score trajectories stream out (lane-padded to 128);
+TF-gather_tree finalization reuses the XLA implementation (tiny arrays).
+
+Scope: depth-1 LSTM + Luong + pre-projected memory (the flagship inference
+config). Semantics match decode/beam.py exactly (iterated argmax == top_k
+with index-order tie-breaking); parity enforced by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ravvent_tpu.decode.beam import BeamResult, _gather_tree
+from ravvent_tpu.models import attention as attn
+from ravvent_tpu.ops.decode_step_pallas import pack_decoder_weights
+
+NEG_INF = float(np.finfo(np.float32).min)
+LANES = 128
+
+
+def _beam_loop_kernel(
+    # scalar prefetch
+    max_steps_ref,  # [1] int32 (SMEM)
+    # inputs
+    keys_ref,     # [BT, S, U]
+    values_ref,   # [BT, S, U] (pre-projected)
+    mask_ref,     # [BT, S] float 1/0
+    wx_ref,       # [IN_P, 4U]
+    wh_ref,       # [U, 4U]
+    b_ref,        # [1, 4U]
+    watth_ref,    # [U, U]
+    wfc_ref,      # [U, VP]
+    bfc_ref,      # [1, VP]
+    # outputs (lane-padded)
+    tokens_ref,   # [BT, T, LANES] int32
+    parents_ref,  # [BT, T, LANES] int32
+    scores_ref,   # [BT, T, LANES] float32
+    # scratch
+    h_ref, c_ref, att_ref,  # [BT*W, U] f32
+    emb_ref,                # [BT*W, IN_P] f32 (current step's cell input base)
+    cum_ref,                # [BT, LANES] f32 (first W lanes live)
+    fin_ref,                # [BT, LANES] f32
+    *,
+    T: int,
+    W: int,
+    vocab: int,
+    start_token: int,
+    end_token: int,
+):
+    BT, S, U = keys_ref.shape
+    VP = wfc_ref.shape[1]
+    IN_P = wx_ref.shape[0]
+    BW = BT * W
+
+    # --- init ---
+    h_ref[:] = jnp.zeros((BW, U), jnp.float32)
+    c_ref[:] = jnp.zeros((BW, U), jnp.float32)
+    att_ref[:] = jnp.zeros((BW, U), jnp.float32)
+    icols = jax.lax.broadcasted_iota(jnp.int32, (BW, IN_P), 1)
+    emb_ref[:] = jnp.where(icols == start_token, 1.0, 0.0)
+    lanes_bt = jax.lax.broadcasted_iota(jnp.int32, (BT, LANES), 1)
+    cum_ref[:] = jnp.where(lanes_bt == 0, 0.0, NEG_INF)
+    fin_ref[:] = jnp.zeros((BT, LANES), jnp.float32)
+
+    max_steps = max_steps_ref[0]
+    mask_row = mask_ref[:]  # [BT, S]
+
+    def step(t, _):
+        # cell input = [one-hot token | attention | pad] (concat — value
+        # scatter does not lower in Mosaic)
+        emb = emb_ref[:]
+        pad_cols = IN_P - vocab - U
+        x = jnp.concatenate(
+            [emb[:, :vocab], att_ref[:], jnp.zeros((BW, pad_cols), jnp.float32)],
+            axis=1,
+        )
+
+        # --- LSTM cell ---
+        z = (
+            jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h_ref[:], wh_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[0, :]
+        )
+        ig = jax.nn.sigmoid(z[:, :U])
+        fg = jax.nn.sigmoid(z[:, U : 2 * U])
+        gg = jnp.tanh(z[:, 2 * U : 3 * U])
+        og = jax.nn.sigmoid(z[:, 3 * U :])
+        c_new = fg * c_ref[:] + ig * gg
+        h_new = og * jnp.tanh(c_new)
+
+        # --- Luong attention over resident memory (beams batched) ---
+        hw = h_new.reshape(BT, W, U)
+        scores = jax.lax.dot_general(
+            hw.astype(keys_ref.dtype), keys_ref[:],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [BT, W, S]
+        scores = jnp.where(mask_row[:, None, :] > 0.5, scores, NEG_INF)
+        m = jnp.max(scores, axis=2, keepdims=True)
+        e = jnp.exp(scores - m)
+        align = e / jnp.sum(e, axis=2, keepdims=True)
+        context = jax.lax.dot_general(
+            align.astype(values_ref.dtype), values_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [BT, W, U] (pre-projected)
+        att_new = (
+            jnp.dot(h_new, watth_ref[:], preferred_element_type=jnp.float32)
+            + context.reshape(BW, U)
+        )
+        logits = (
+            jnp.dot(att_new, wfc_ref[:], preferred_element_type=jnp.float32)
+            + bfc_ref[0, :]
+        )  # [BW, VP]; padded vocab columns carry -inf bias
+
+        # --- beam bookkeeping ---
+        lmax = jnp.max(logits, axis=1, keepdims=True)
+        lse = jnp.log(jnp.sum(jnp.exp(logits - lmax), axis=1, keepdims=True)) + lmax
+        step_lp = (logits - lse).reshape(BT, W, VP)
+        fin = fin_ref[:, :W]  # [BT, W]
+        vcols = jax.lax.broadcasted_iota(jnp.int32, (BT, W, VP), 2)
+        fin_row = jnp.where(vcols == end_token, 0.0, NEG_INF)
+        step_lp = jnp.where(fin[..., None] > 0.5, fin_row, step_lp)
+        total = cum_ref[:, :W][..., None] + step_lp  # [BT, W, VP]
+        flat = total.reshape(BT, W * VP)
+
+        # top-W by iterated argmax (ties resolved by first index, like top_k)
+        def pick(k, carry):
+            flat_cur, cums, idxs = carry
+            best = jnp.argmax(flat_cur, axis=1).astype(jnp.int32)  # [BT]
+            val = jnp.max(flat_cur, axis=1)
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+            cums = jnp.where(kcol == k, val[:, None], cums)
+            idxs = jnp.where(kcol == k, best[:, None], idxs)
+            bcols = jax.lax.broadcasted_iota(jnp.int32, (BT, W * VP), 1)
+            flat_cur = jnp.where(bcols == best[:, None], NEG_INF, flat_cur)
+            return (flat_cur, cums, idxs)
+
+        _, new_cum, idx = jax.lax.fori_loop(
+            0, W, pick,
+            (flat, jnp.zeros((BT, W), jnp.float32), jnp.zeros((BT, W), jnp.int32)),
+        )
+        parent = idx // VP
+        token = idx % VP
+
+        # permute state by parent with one-hot matmuls (W is tiny)
+        wcols = jax.lax.broadcasted_iota(jnp.int32, (BT, W, W), 2)
+        perm = jnp.where(wcols == parent[..., None], 1.0, 0.0)  # [BT, Wnew, Wold]
+
+        def permute(xs):  # [BW, U] -> [BW, U]
+            xw = xs.reshape(BT, W, U)
+            return jax.lax.dot_general(
+                perm, xw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(BW, U)
+
+        prev_fin = jnp.sum(perm * fin[:, None, :], axis=2)  # gathered finished
+        new_fin = jnp.maximum(prev_fin, jnp.where(token == end_token, 1.0, 0.0))
+
+        # next-step embeddings from the chosen tokens (built in [BT, W, .]
+        # space — Mosaic cannot reshape across the lane dim)
+        cols3 = jax.lax.broadcasted_iota(jnp.int32, (BT, W, IN_P), 2)
+        emb_next = jnp.where(cols3 == token[:, :, None], 1.0, 0.0).reshape(BW, IN_P)
+
+        live = t < max_steps
+
+        @pl.when(live)
+        def _():
+            h_ref[:] = permute(h_new)
+            c_ref[:] = permute(c_new)
+            att_ref[:] = permute(att_new)
+            emb_ref[:] = emb_next
+            cum_ref[:, :W] = new_cum
+            fin_ref[:, :W] = new_fin
+
+        pad = jnp.zeros((BT, 1, LANES - W))
+        tokens_ref[:, pl.ds(t, 1), :] = jnp.concatenate(
+            [token[:, None, :].astype(jnp.int32), pad.astype(jnp.int32)], axis=2
+        )
+        parents_ref[:, pl.ds(t, 1), :] = jnp.concatenate(
+            [parent[:, None, :].astype(jnp.int32), pad.astype(jnp.int32)], axis=2
+        )
+        scores_ref[:, pl.ds(t, 1), :] = jnp.concatenate(
+            [new_cum[:, None, :], pad], axis=2
+        )
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vocab", "total_steps", "beam_width", "b_tile",
+                     "start_token", "end_token", "interpret"),
+)
+def _beam_loop_call(
+    weights, watt_h, keys, values, maskf, max_steps,
+    vocab: int, total_steps: int, beam_width: int, b_tile: int,
+    start_token: int, end_token: int, interpret: bool,
+):
+    B, S, U = keys.shape
+    W = beam_width
+    VP = weights.wfc.shape[1]
+    IN_P = weights.wx.shape[0]
+    grid = (B // b_tile,)
+
+    kernel = functools.partial(
+        _beam_loop_kernel, T=total_steps, W=W, vocab=vocab,
+        start_token=start_token, end_token=end_token,
+    )
+    # NB: with PrefetchScalarGridSpec the index_map also receives the
+    # scalar-prefetch refs after the grid indices.
+    bt = lambda *shape: pl.BlockSpec(shape, lambda ib, *_: (ib,) + (0,) * (len(shape) - 1),
+                                     memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda ib, *_: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            bt(b_tile, S, U),
+            bt(b_tile, S, U),
+            bt(b_tile, S),
+            full(IN_P, 4 * U),
+            full(U, 4 * U),
+            full(1, 4 * U),
+            full(U, U),
+            full(U, VP),
+            full(1, VP),
+        ],
+        out_specs=[
+            bt(b_tile, total_steps, LANES),
+            bt(b_tile, total_steps, LANES),
+            bt(b_tile, total_steps, LANES),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_tile * W, U), jnp.float32),
+            pltpu.VMEM((b_tile * W, U), jnp.float32),
+            pltpu.VMEM((b_tile * W, U), jnp.float32),
+            pltpu.VMEM((b_tile * W, IN_P), jnp.float32),
+            pltpu.VMEM((b_tile, LANES), jnp.float32),
+            pltpu.VMEM((b_tile, LANES), jnp.float32),
+        ],
+    )
+    tokens, parents, scores = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, total_steps, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, total_steps, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, total_steps, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(max_steps, jnp.int32).reshape(1), keys, values, maskf,
+      weights.wx, weights.wh, weights.b, watt_h, weights.wfc, weights.bfc)
+    W_ = beam_width
+    return tokens[..., :W_], parents[..., :W_], scores[..., :W_]
+
+
+def beam_loop_decode(
+    dec_params,
+    mem: attn.AttnMemory,
+    vocab_size: int,
+    beam_width: int,
+    total_steps: int,
+    max_steps=None,
+    b_tile: int = 16,
+    start_token: int = 2,
+    end_token: int = 1,
+    interpret: bool = False,
+) -> BeamResult:
+    """Whole-loop fused beam search. Requires pre-projected memory
+    (``setup_memory(..., attention_layer=...)``), depth-1 LSTM, Luong."""
+    assert mem.projected, "beam_loop_decode requires pre-projected memory"
+    B, S = mem.mask.shape
+    assert B % b_tile == 0 and S % 8 == 0
+    if max_steps is None:
+        max_steps = total_steps
+
+    w = pack_decoder_weights(dec_params, vocab_size)
+    watt_h = jnp.asarray(mem.watt_h, jnp.float32)
+
+    tokens, parents, scores = _beam_loop_call(
+        w, watt_h, mem.keys, mem.values, mem.mask.astype(jnp.float32), max_steps,
+        vocab_size, total_steps, beam_width, b_tile,
+        start_token, end_token, interpret,
+    )
+    tokens_t = tokens.transpose(1, 0, 2)
+    parents_t = parents.transpose(1, 0, 2)
+    eff_T = jnp.minimum(jnp.asarray(max_steps, jnp.int32), total_steps)
+    lengths = _reconstruct_lengths(tokens_t, parents_t, end_token)
+    final = _gather_tree(tokens_t, parents_t, lengths, eff_T, end_token)
+    return BeamResult(tokens=final.transpose(1, 0, 2), scores=scores)
+
+
+def _reconstruct_lengths(tokens, parents, end_token):
+    """Per-step beam prediction lengths [T, B, W], the same recurrence
+    decode/beam.py carries: gathered parent's length + 1 while the parent was
+    unfinished (the kernel streams tokens/parents; lengths are derived)."""
+    T, B, W = tokens.shape
+
+    def body(carry, ts):
+        lengths, finished = carry
+        tok, par = ts
+        pl_ = jnp.take_along_axis(lengths, par, axis=1)
+        pf = jnp.take_along_axis(finished, par, axis=1)
+        nl = pl_ + (~pf).astype(jnp.int32)
+        nf = jnp.logical_or(pf, tok == end_token)
+        return (nl, nf), nl
+
+    (_, _), out = jax.lax.scan(
+        body,
+        (jnp.zeros((B, W), jnp.int32), jnp.zeros((B, W), bool)),
+        (tokens, parents),
+    )
+    return out

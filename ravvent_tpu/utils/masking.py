@@ -44,3 +44,13 @@ def masked_accuracy(
     total = jnp.sum(mask)
     count = jnp.sum(mask * match)
     return count / jnp.maximum(total, 1)
+
+
+def masked_ce_loss_sum(real: jnp.ndarray, logits: jnp.ndarray, pad_token: int = 0) -> jnp.ndarray:
+    """Sum-reduction masked CE — the reference's alternative ``MaskedLoss``
+    (reference: utils.py:138-160; only used by stale code there, provided for
+    completeness)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, real[..., None], axis=-1)[..., 0]
+    mask = (real != pad_token).astype(ce.dtype)
+    return jnp.sum(ce * mask)

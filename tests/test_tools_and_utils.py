@@ -160,3 +160,31 @@ def test_plots_render(tmp_path):
                              reference_values=[0.87, 0.76, 0.87], out=tmp_path / "bars.png")
     for f in ("raw.png", "ed.png", "ws.png", "lc.png", "bars.png"):
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_shape_checker():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from ravvent_tpu.utils.shape_checker import ShapeChecker
+
+    sc = ShapeChecker()
+    sc(np.zeros((4, 7)), ("batch", "t"))
+    sc(jnp.zeros((4, 7, 3)), "batch t logits")
+    with _pytest.raises(ValueError):
+        sc(np.zeros((5, 7)), ("batch", "t"))
+    with _pytest.raises(ValueError):
+        sc(np.zeros((4,)), ("batch", "t"))
+    sc(np.zeros((1, 7)), ("batch", "t"), broadcast=True)
+
+
+def test_masked_loss_sum_variant():
+    import jax.numpy as jnp
+
+    from ravvent_tpu.utils.masking import masked_ce_loss, masked_ce_loss_sum
+
+    real = jnp.array([[2, 3, 1, 0]])
+    logits = jnp.zeros((1, 4, 7))
+    mean = float(masked_ce_loss(real, logits))
+    total = float(masked_ce_loss_sum(real, logits))
+    assert abs(total - mean * 3) < 1e-5  # 3 non-pad positions
