@@ -39,22 +39,32 @@ class BasecallEngine:
         memory_dtype=None,
         project_values: bool = False,
         use_fused_beam: bool = False,
+        beam_impl: str = "xla",
     ) -> None:
         """``memory_dtype=jnp.bfloat16`` stores the attention memory
         (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
         at a small numeric cost (validated against identity in bench).
         ``project_values`` pre-projects values through the attention layer
         (mathematically equivalent, another third less traffic).
-        ``use_fused_beam`` runs the whole beam loop as one Pallas kernel with
-        the memory resident in VMEM (implies project_values; flagship config
-        only: Luong, depth-1 LSTM)."""
+        ``beam_impl`` selects the decode loop implementation (flagship config
+        only — Luong, depth-1 LSTM; all imply project_values):
+        - "xla": lax.scan of XLA ops (any config);
+        - "loop": whole beam loop as one Pallas kernel, memory VMEM-resident
+          (best at small batch);
+        - "step": per-step fused Pallas kernel driven by lax.scan, memory
+          streamed (best at large batch — hits the HBM bandwidth floor).
+        ``use_fused_beam`` is a deprecated alias for beam_impl="loop"."""
         self.params = params
         self.cfg = cfg
         self.chunk_size = chunk_size
         self.total_steps = total_steps
         self.memory_dtype = memory_dtype
-        self.use_fused_beam = use_fused_beam
-        if use_fused_beam:
+        if use_fused_beam and beam_impl == "xla":
+            beam_impl = "loop"
+        assert beam_impl in ("xla", "loop", "step")
+        self.beam_impl = beam_impl
+        self.use_fused_beam = beam_impl != "xla"
+        if beam_impl != "xla":
             assert cfg.effective_attention == "luong" and cfg.cell_type == "lstm"
             assert cfg.decoder_depth == 1
             project_values = True
@@ -73,14 +83,19 @@ class BasecallEngine:
         def _beam(params, raw, event, max_steps, beam_width):
             enc_out, mask = encode_input(params, raw, event, mcfg)
             if self.use_fused_beam:
-                from ravvent_tpu.ops.beam_loop_pallas import beam_loop_decode
+                from ravvent_tpu.ops.beam_loop_pallas import (
+                    beam_loop_decode, beam_step_decode,
+                )
 
                 S = enc_out.shape[1]
                 S_p = ((S + 7) // 8) * 8
                 enc_out = jnp.pad(enc_out, ((0, 0), (0, S_p - S), (0, 0)))
                 mask = jnp.pad(mask, ((0, 0), (0, S_p - S)))
                 mem = _setup(params, enc_out, mask)
-                res = beam_loop_decode(
+                decode_fn = (
+                    beam_step_decode if self.beam_impl == "step" else beam_loop_decode
+                )
+                res = decode_fn(
                     params["decoder"], mem, mcfg.vocab_size, beam_width,
                     self.total_steps, max_steps,
                 )
@@ -127,7 +142,15 @@ class BasecallEngine:
                 e_valid[..., None], events[jnp.clip(e_pos, 0, E - 1)], 0.0
             )
             tokens, probs = _beam(params, raw, event, max_steps, beam_width)
-            return tokens.astype(jnp.int8), probs.astype(jnp.bfloat16)
+            # Pack tokens (int8) and probs (fp16) into ONE uint8 buffer so the
+            # host fetches a single array per slab: each device->host transfer
+            # pays ~30ms of link latency in this environment, so one fetch per
+            # read instead of two halves the fixed cost.
+            tok_b = jax.lax.bitcast_convert_type(tokens.astype(jnp.int8), jnp.uint8)
+            prob_b = jax.lax.bitcast_convert_type(
+                probs.astype(jnp.float16), jnp.uint8
+            ).reshape(tokens.shape[0], -1)
+            return jnp.concatenate([tok_b, prob_b], axis=1)
 
         self._beam_compact_jit = jax.jit(_beam_compact, static_argnames=("beam_width",))
 
@@ -184,13 +207,19 @@ class BasecallEngine:
             rr_l[:n] = rr - lo_s
             er_l = np.zeros((slab, 2), np.int32)
             er_l[:n] = er - lo_e
-            tokens, probs = self._beam_compact_jit(
+            packed = self._beam_compact_jit(
                 self.params, jnp.asarray(sig), jnp.asarray(rr_l), jnp.asarray(ev),
                 jnp.asarray(er_l), jnp.int32(max_output_len - 1), beam_width,
             )
-            pending.append((tokens, probs, n))
-        toks = [np.asarray(t[:n]).astype(np.int64) for t, _, n in pending]
-        prbs = [np.asarray(p[:n]).astype(np.float32) for _, p, n in pending]
+            # slice off pad rows on-device (async) so the fetch moves only
+            # live data; the single np.asarray below is the one sync point
+            pending.append((packed[:n] if n < slab else packed, n))
+        T = self.total_steps
+        toks, prbs = [], []
+        for packed, n in pending:
+            arr = np.asarray(packed)
+            toks.append(arr[:, :T].copy().view(np.int8).astype(np.int64))
+            prbs.append(arr[:, T:].copy().view(np.float16).astype(np.float32))
         return np.concatenate(toks), np.concatenate(prbs)
 
     def _pad_chunk(self, arr: np.ndarray) -> Tuple[np.ndarray, int]:

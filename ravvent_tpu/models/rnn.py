@@ -276,6 +276,21 @@ def init_encoder(
     return layers
 
 
+# Pallas fused-layer routing: None = auto (TPU backend + shapes supported),
+# True/False = force. Tests flip this to exercise both paths.
+USE_PALLAS_ENCODER: Optional[bool] = None
+
+
+def _pallas_enabled(B: int, T: int, F: int, U: int, itemsize: int) -> bool:
+    if USE_PALLAS_ENCODER is not None:
+        return USE_PALLAS_ENCODER
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from ravvent_tpu.ops.rnn_pallas import pallas_supported
+
+    return pallas_supported(B, T, F, U, itemsize)
+
+
 def encoder_apply(
     layers: List[Params],
     xs: jnp.ndarray,  # [B, T, F]
@@ -290,7 +305,14 @@ def encoder_apply(
     state = None
     if bidirectional:
         for layer in layers:
-            out, state = run_bidi_layer(layer, cell_type, out, initial_state=state)
+            B, T, F = out.shape
+            U = layer["fwd"]["recurrent"].shape[0]
+            if cell_type == "lstm" and _pallas_enabled(B, T, F, U, out.dtype.itemsize):
+                from ravvent_tpu.ops.rnn_pallas import run_bidi_lstm_pallas
+
+                out, state = run_bidi_lstm_pallas(layer, out, initial_state=state)
+            else:
+                out, state = run_bidi_layer(layer, cell_type, out, initial_state=state)
         return out, state
     for layer in layers:
         out, state = run_rnn_layer(layer["fwd"], cell_type, out, initial_state=state)

@@ -315,6 +315,261 @@ def beam_loop_decode(
     return BeamResult(tokens=final.transpose(1, 0, 2), scores=scores)
 
 
+# ---------------------------------------------------------------------------
+# Per-step fused beam kernel (memory streamed, full batch parallel per step)
+#
+# The whole-loop kernel above keeps memory VMEM-resident but must serialize
+# batch tiles (VMEM caps the tile at ~16-64 rows), so at large batch its
+# sequential-step count explodes. This variant fuses ONE beam step — cell +
+# attention + logits + top-W + beam permutation — over the full batch and
+# lets lax.scan drive the 47 steps: per step the memory streams from HBM
+# once (the true bandwidth floor) while every tile runs through the pipelined
+# grid. Faster than both the XLA path (no per-op dispatch/intermediate
+# traffic) and the whole-loop kernel whenever B >> tile size.
+# ---------------------------------------------------------------------------
+
+
+def _beam_step_kernel(
+    emb_ref,   # [bt*W, IN_P] one-hot token in first `vocab` cols
+    h_ref, c_ref, att_ref,  # [bt*W, U]
+    cum_ref, fin_ref,       # [bt, LANES] (first W lanes live)
+    keys_ref, values_ref,   # [bt, S, U] (values pre-projected)
+    mask_ref,               # [bt, S] float 1/0
+    wx_ref, wh_ref, b_ref, watth_ref, wfc_ref, bfc_ref,
+    h_out, c_out, att_out, emb_out,  # [bt*W, ...]
+    cum_out, fin_out,                # [bt, LANES]
+    tok_out, par_out,                # [bt, LANES] int32
+    *,
+    W: int,
+    vocab: int,
+    end_token: int,
+):
+    BT, S, U = keys_ref.shape
+    VP = wfc_ref.shape[1]
+    IN_P = wx_ref.shape[0]
+    BW = BT * W
+
+    pad_cols = IN_P - vocab - U
+    x = jnp.concatenate(
+        [emb_ref[:, :vocab], att_ref[:], jnp.zeros((BW, pad_cols), jnp.float32)],
+        axis=1,
+    )
+    z = (
+        jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h_ref[:], wh_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[0, :]
+    )
+    ig = jax.nn.sigmoid(z[:, :U])
+    fg = jax.nn.sigmoid(z[:, U : 2 * U])
+    gg = jnp.tanh(z[:, 2 * U : 3 * U])
+    og = jax.nn.sigmoid(z[:, 3 * U :])
+    c_new = fg * c_ref[:] + ig * gg
+    h_new = og * jnp.tanh(c_new)
+
+    hw = h_new.reshape(BT, W, U)
+    scores = jax.lax.dot_general(
+        hw.astype(keys_ref.dtype), keys_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(mask_ref[:][:, None, :] > 0.5, scores, NEG_INF)
+    m = jnp.max(scores, axis=2, keepdims=True)
+    e = jnp.exp(scores - m)
+    align = e / jnp.sum(e, axis=2, keepdims=True)
+    context = jax.lax.dot_general(
+        align.astype(values_ref.dtype), values_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    att_new = (
+        jnp.dot(h_new, watth_ref[:], preferred_element_type=jnp.float32)
+        + context.reshape(BW, U)
+    )
+    logits = (
+        jnp.dot(att_new, wfc_ref[:], preferred_element_type=jnp.float32)
+        + bfc_ref[0, :]
+    )
+
+    lmax = jnp.max(logits, axis=1, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(logits - lmax), axis=1, keepdims=True)) + lmax
+    step_lp = (logits - lse).reshape(BT, W, VP)
+    fin = fin_ref[:, :W]
+    vcols = jax.lax.broadcasted_iota(jnp.int32, (BT, W, VP), 2)
+    fin_row = jnp.where(vcols == end_token, 0.0, NEG_INF)
+    step_lp = jnp.where(fin[..., None] > 0.5, fin_row, step_lp)
+    total = cum_ref[:, :W][..., None] + step_lp
+    flat = total.reshape(BT, W * VP)
+
+    def pick(k, carry):
+        flat_cur, cums, idxs = carry
+        best = jnp.argmax(flat_cur, axis=1).astype(jnp.int32)
+        val = jnp.max(flat_cur, axis=1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+        cums = jnp.where(kcol == k, val[:, None], cums)
+        idxs = jnp.where(kcol == k, best[:, None], idxs)
+        bcols = jax.lax.broadcasted_iota(jnp.int32, (BT, W * VP), 1)
+        flat_cur = jnp.where(bcols == best[:, None], NEG_INF, flat_cur)
+        return (flat_cur, cums, idxs)
+
+    _, new_cum, idx = jax.lax.fori_loop(
+        0, W, pick,
+        (flat, jnp.zeros((BT, W), jnp.float32), jnp.zeros((BT, W), jnp.int32)),
+    )
+    parent = idx // VP
+    token = idx % VP
+
+    wcols = jax.lax.broadcasted_iota(jnp.int32, (BT, W, W), 2)
+    perm = jnp.where(wcols == parent[..., None], 1.0, 0.0)
+
+    def permute(xs):
+        xw = xs.reshape(BT, W, U)
+        return jax.lax.dot_general(
+            perm, xw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(BW, U)
+
+    prev_fin = jnp.sum(perm * fin[:, None, :], axis=2)
+    new_fin = jnp.maximum(prev_fin, jnp.where(token == end_token, 1.0, 0.0))
+
+    cols3 = jax.lax.broadcasted_iota(jnp.int32, (BT, W, IN_P), 2)
+    emb_out[:] = jnp.where(cols3 == token[:, :, None], 1.0, 0.0).reshape(BW, IN_P)
+    h_out[:] = permute(h_new)
+    c_out[:] = permute(c_new)
+    att_out[:] = permute(att_new)
+
+    pad_i = jnp.zeros((BT, LANES - W), jnp.int32)
+    pad_f = jnp.zeros((BT, LANES - W), jnp.float32)
+    cum_out[:] = jnp.concatenate([new_cum, pad_f], axis=1)
+    fin_out[:] = jnp.concatenate([new_fin, pad_f], axis=1)
+    tok_out[:] = jnp.concatenate([token, pad_i], axis=1)
+    par_out[:] = jnp.concatenate([parent, pad_i], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vocab", "total_steps", "beam_width", "b_tile",
+                     "start_token", "end_token", "interpret"),
+)
+def _beam_step_scan(
+    weights, watt_h, keys, values, maskf, max_steps,
+    vocab: int, total_steps: int, beam_width: int, b_tile: int,
+    start_token: int, end_token: int, interpret: bool,
+):
+    B, S, U = keys.shape
+    W = beam_width
+    VP = weights.wfc.shape[1]
+    IN_P = weights.wx.shape[0]
+    BW = B * W
+    grid = (B // b_tile,)
+
+    kernel = functools.partial(
+        _beam_step_kernel, W=W, vocab=vocab, end_token=end_token,
+    )
+    bt = lambda *shape: pl.BlockSpec(shape, lambda ib: (ib,) + (0,) * (len(shape) - 1),
+                                     memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda ib: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    step_call = functools.partial(
+        pl.pallas_call,
+        kernel,
+        grid=grid,
+        in_specs=[
+            bt(b_tile * W, IN_P),
+            bt(b_tile * W, U), bt(b_tile * W, U), bt(b_tile * W, U),
+            bt(b_tile, LANES), bt(b_tile, LANES),
+            bt(b_tile, S, U), bt(b_tile, S, U), bt(b_tile, S),
+            full(IN_P, 4 * U), full(U, 4 * U), full(1, 4 * U),
+            full(U, U), full(U, VP), full(1, VP),
+        ],
+        out_specs=[
+            bt(b_tile * W, U), bt(b_tile * W, U), bt(b_tile * W, U),
+            bt(b_tile * W, IN_P),
+            bt(b_tile, LANES), bt(b_tile, LANES),
+            bt(b_tile, LANES), bt(b_tile, LANES),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BW, U), jnp.float32),
+            jax.ShapeDtypeStruct((BW, U), jnp.float32),
+            jax.ShapeDtypeStruct((BW, U), jnp.float32),
+            jax.ShapeDtypeStruct((BW, IN_P), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )()
+
+    lanes = jnp.arange(LANES)[None, :]
+    h0 = jnp.zeros((BW, U), jnp.float32)
+    c0 = jnp.zeros((BW, U), jnp.float32)
+    att0 = jnp.zeros((BW, U), jnp.float32)
+    emb0 = (jnp.arange(IN_P)[None, :] == start_token).astype(jnp.float32)
+    emb0 = jnp.broadcast_to(emb0, (BW, IN_P))
+    cum0 = jnp.where(lanes == 0, 0.0, NEG_INF)
+    cum0 = jnp.broadcast_to(cum0, (B, LANES))
+    fin0 = jnp.zeros((B, LANES), jnp.float32)
+
+    def body(carry, t):
+        h, c, att, emb, cum, fin = carry
+        nh, nc, natt, nemb, ncum, nfin, tok, par = step_call(
+            emb, h, c, att, cum, fin, keys, values, maskf,
+            weights.wx, weights.wh, weights.b, watt_h, weights.wfc, weights.bfc,
+        )
+        live = t < max_steps
+        frz = lambda n, o: jnp.where(live, n, o)
+        return (
+            (frz(nh, h), frz(nc, c), frz(natt, att), frz(nemb, emb),
+             frz(ncum, cum), frz(nfin, fin)),
+            (tok[:, :beam_width], par[:, :beam_width], ncum[:, :beam_width]),
+        )
+
+    _, (tokens, parents, scores) = jax.lax.scan(
+        body, (h0, c0, att0, emb0, cum0, fin0), jnp.arange(total_steps)
+    )
+    # [T, B, W] each
+    return tokens, parents, scores
+
+
+def beam_step_decode(
+    dec_params,
+    mem: attn.AttnMemory,
+    vocab_size: int,
+    beam_width: int,
+    total_steps: int,
+    max_steps=None,
+    b_tile: int = 32,
+    start_token: int = 2,
+    end_token: int = 1,
+    interpret: bool = False,
+) -> BeamResult:
+    """Per-step fused beam search (scan outside, fused kernel per step).
+    Same semantics/requirements as :func:`beam_loop_decode`; preferred at
+    large batch where memory residency would over-serialize."""
+    assert mem.projected, "beam_step_decode requires pre-projected memory"
+    B, S = mem.mask.shape
+    assert B % b_tile == 0 and S % 8 == 0
+    if max_steps is None:
+        max_steps = total_steps
+
+    w = pack_decoder_weights(dec_params, vocab_size)
+    watt_h = jnp.asarray(mem.watt_h, jnp.float32)
+
+    tokens, parents, scores = _beam_step_scan(
+        w, watt_h, mem.keys, mem.values, mem.mask.astype(jnp.float32),
+        jnp.asarray(max_steps, jnp.int32),
+        vocab_size, total_steps, beam_width, b_tile,
+        start_token, end_token, interpret,
+    )
+    eff_T = jnp.minimum(jnp.asarray(max_steps, jnp.int32), total_steps)
+    lengths = _reconstruct_lengths(tokens, parents, end_token)
+    final = _gather_tree(tokens, parents, lengths, eff_T, end_token)
+    return BeamResult(
+        tokens=final.transpose(1, 0, 2), scores=scores.transpose(1, 0, 2)
+    )
+
+
 def _reconstruct_lengths(tokens, parents, end_token):
     """Per-step beam prediction lengths [T, B, W], the same recurrence
     decode/beam.py carries: gathered parent's length + 1 while the parent was

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: one bidirectional LSTM layer, whole time loop fused.
+
+The XLA scan path (ravvent_tpu/models/rnn.py:run_bidi_layer) pays a fixed
+per-time-step cost — each step materializes [B, 4U] gate intermediates in HBM
+and re-launches the fused loop body — which dominates encoder time at
+production batch sizes (~200us/step at B=4096, vs ~1us of MXU work). This
+kernel runs the ENTIRE layer in one program:
+
+  grid = (B/bt, T); for each batch tile the time axis is the inner,
+  sequential grid dimension, so the recurrent state lives in VMEM scratch
+  across steps. Both directions advance in the same step (forward reads
+  x[t], backward reads x[T-1-t] via a second view of the same input with a
+  reversed index map), every intermediate stays on-chip, and the input
+  projection happens in-kernel (no [B, T, 4U] HBM round trip).
+
+Semantics are exactly run_bidi_layer's (keras LSTMCell: gates i,f,g,o,
+sigmoid/tanh, states seeded from the previous layer); parity is enforced by
+tests/test_rnn_pallas.py. Used by the encoder for cell_type='lstm'
+bidirectional layers on TPU; other configs fall back to the scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _bilstm_kernel(
+    xf_ref,   # [1, bt, F] x[t]
+    xb_ref,   # [1, bt, F] x[T-1-t]
+    wxf_ref,  # [F, 4U]
+    whf_ref,  # [U, 4U]
+    bf_ref,   # [1, 4U]
+    wxb_ref,
+    whb_ref,
+    bb_ref,
+    h0_ref,   # [4, bt, U] initial (h_f, c_f, h_b, c_b)
+    outf_ref,  # [1, bt, U] at t
+    outb_ref,  # [1, bt, U] at T-1-t
+    fin_ref,   # [4, bt, U] final states
+    h_ref,     # scratch [4, bt, U] f32
+    *,
+    T: int,
+    U: int,
+):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = h0_ref[:].astype(jnp.float32)
+
+    def direction(x_ref, wx_ref, wh_ref, b_ref, idx):
+        x = x_ref[0]
+        h = h_ref[2 * idx]
+        c = h_ref[2 * idx + 1]
+        z = (
+            jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                      preferred_element_type=jnp.float32)
+            + b_ref[0, :]
+        )
+        i = jax.nn.sigmoid(z[:, :U])
+        f = jax.nn.sigmoid(z[:, U : 2 * U])
+        g = jnp.tanh(z[:, 2 * U : 3 * U])
+        o = jax.nn.sigmoid(z[:, 3 * U :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_ref[2 * idx] = h_new
+        h_ref[2 * idx + 1] = c_new
+        return h_new
+
+    hf = direction(xf_ref, wxf_ref, whf_ref, bf_ref, 0)
+    hb = direction(xb_ref, wxb_ref, whb_ref, bb_ref, 1)
+    outf_ref[0] = hf.astype(outf_ref.dtype)
+    outb_ref[0] = hb.astype(outb_ref.dtype)
+
+    @pl.when(t == T - 1)
+    def _():
+        fin_ref[:] = h_ref[:].astype(fin_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("b_tile", "interpret"))
+def _bilstm_call(xs_tm, wxf, whf, bf, wxb, whb, bb, h0, b_tile, interpret):
+    T, B, F = xs_tm.shape
+    U = whf.shape[0]
+    grid = (B // b_tile, T)
+
+    kernel = functools.partial(_bilstm_kernel, T=T, U=U)
+    out_f, out_b, fin = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, b_tile, F), lambda ib, t: (t, ib, 0)),
+            pl.BlockSpec((1, b_tile, F), lambda ib, t: (T - 1 - t, ib, 0)),
+            pl.BlockSpec((F, 4 * U), lambda ib, t: (0, 0)),
+            pl.BlockSpec((U, 4 * U), lambda ib, t: (0, 0)),
+            pl.BlockSpec((1, 4 * U), lambda ib, t: (0, 0)),
+            pl.BlockSpec((F, 4 * U), lambda ib, t: (0, 0)),
+            pl.BlockSpec((U, 4 * U), lambda ib, t: (0, 0)),
+            pl.BlockSpec((1, 4 * U), lambda ib, t: (0, 0)),
+            pl.BlockSpec((4, b_tile, U), lambda ib, t: (0, ib, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b_tile, U), lambda ib, t: (t, ib, 0)),
+            pl.BlockSpec((1, b_tile, U), lambda ib, t: (T - 1 - t, ib, 0)),
+            pl.BlockSpec((4, b_tile, U), lambda ib, t: (0, ib, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, U), xs_tm.dtype),
+            jax.ShapeDtypeStruct((T, B, U), xs_tm.dtype),
+            jax.ShapeDtypeStruct((4, B, U), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, b_tile, U), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xs_tm, xs_tm, wxf, whf, bf, wxb, whb, bb, h0)
+    return out_f, out_b, fin
+
+
+def _pick_tile(B: int, T: int, F: int, U: int, itemsize: int) -> Optional[int]:
+    """Largest power-of-two batch tile whose working set fits ~half of VMEM
+    (input/output blocks are double-buffered by the pipeline)."""
+    budget = 8 * 1024 * 1024
+    for bt in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if B % bt:
+            continue
+        stream = 2 * bt * (2 * F + 2 * U) * itemsize  # dbl-buffered x/out blocks
+        state = 4 * bt * U * 4 * 2  # scratch + h0/fin blocks
+        weights = (2 * F + 2 * U + 2) * 4 * U * itemsize
+        if stream + state + weights <= budget:
+            return bt
+    return None
+
+
+def run_bidi_lstm_pallas(
+    layer,
+    xs: jnp.ndarray,  # [B, T, F]
+    initial_state=None,  # (h [2, B, U], c [2, B, U]) or None
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Drop-in replacement for run_bidi_layer(cell_type='lstm').
+
+    Returns (outputs [B, T, 2U] time-aligned, (h, c) each [2, B, U]).
+    """
+    pf, pb = layer["fwd"], layer["bwd"]
+    B, T, F = xs.shape
+    U = pf["recurrent"].shape[0]
+    if initial_state is None:
+        h0 = jnp.zeros((4, B, U), jnp.float32)
+    else:
+        h, c = initial_state
+        h0 = jnp.stack([h[0], c[0], h[1], c[1]])
+
+    out_f, out_b, fin = _bilstm_call(
+        xs.swapaxes(0, 1),  # time-major: TPU block constraint wants the
+        pf["kernel"], pf["recurrent"], pf["bias"][None, :],  # (batch, feat)
+        pb["kernel"], pb["recurrent"], pb["bias"][None, :],  # pair trailing
+        h0,
+        b_tile=_pick_tile(B, T, F, U, xs.dtype.itemsize),
+        interpret=interpret,
+    )
+    out = jnp.concatenate([out_f, out_b], axis=-1).swapaxes(0, 1)
+    final = (jnp.stack([fin[0], fin[2]]), jnp.stack([fin[1], fin[3]]))
+    return out, final
+
+
+def pallas_supported(B: int, T: int, F: int, U: int, itemsize: int = 4) -> bool:
+    return _pick_tile(B, T, F, U, itemsize) is not None

@@ -9,7 +9,7 @@ from ravvent_tpu.config import ModelConfig
 from ravvent_tpu.decode.beam import beam_decode
 from ravvent_tpu.models import attention as attn
 from ravvent_tpu.models.basecaller import encode_input, init_basecaller
-from ravvent_tpu.ops.beam_loop_pallas import beam_loop_decode
+from ravvent_tpu.ops.beam_loop_pallas import beam_loop_decode, beam_step_decode
 
 
 @pytest.mark.parametrize("max_steps", [12, 7])
@@ -31,15 +31,16 @@ def test_beam_loop_matches_xla(max_steps):
     )
 
     ref = beam_decode(params["decoder"], mem, 7, 5, 12, max_steps)
-    fused = beam_loop_decode(
-        params["decoder"], mem, 7, 5, 12, max_steps, b_tile=8, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(fused.tokens))
-    # scores beyond max_steps are dead outputs (the consumer slices
-    # [:len(seq)] <= max_steps; both paths recompute-from-frozen-state there
-    # with tiny numeric divergence) — compare the live range.
-    np.testing.assert_allclose(
-        np.asarray(ref.scores[:, :max_steps]),
-        np.asarray(fused.scores[:, :max_steps]),
-        rtol=2e-4, atol=2e-4,
-    )
+    for decode_fn in (beam_loop_decode, beam_step_decode):
+        fused = decode_fn(
+            params["decoder"], mem, 7, 5, 12, max_steps, b_tile=8, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(fused.tokens))
+        # scores beyond max_steps are dead outputs (the consumer slices
+        # [:len(seq)] <= max_steps; both paths recompute-from-frozen-state
+        # there with tiny numeric divergence) — compare the live range.
+        np.testing.assert_allclose(
+            np.asarray(ref.scores[:, :max_steps]),
+            np.asarray(fused.scores[:, :max_steps]),
+            rtol=2e-4, atol=2e-4,
+        )
