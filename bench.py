@@ -94,8 +94,9 @@ def load_flagship():
     return cfg, params, trained
 
 
-def run_bench(beam_width: int = 5, chunk_size: int = 1024, with_identity: bool = True,
-              bf16_memory: bool = False, project_values: bool = False):
+def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool = True,
+              bf16_memory: bool = False, project_values: bool = False,
+              beam_impl: str = "xla"):
     import jax.numpy as jnp
 
     from ravvent_tpu.evaluation.basecall import BasecallEngine
@@ -104,10 +105,13 @@ def run_bench(beam_width: int = 5, chunk_size: int = 1024, with_identity: bool =
 
     fi = ensure_dataset()
     cfg, params, trained = load_flagship()
+    if beam_impl != "xla" and jax.default_backend() not in ("tpu", "axon"):
+        beam_impl = "xla"  # pallas kernels target TPU; CPU baseline stays XLA
     engine = BasecallEngine(
         params, cfg, chunk_size=chunk_size,
         memory_dtype=jnp.bfloat16 if bf16_memory else None,
         project_values=project_values,
+        beam_impl=beam_impl,
     )
 
     # Warm up the compact-path compile (steady-state throughput is the
@@ -138,6 +142,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 1024, with_identity: bool =
         "project_values": project_values,
         "beam_width": beam_width,
         "chunk_size": chunk_size,
+        "beam_impl": beam_impl,
         "trained_checkpoint": trained,
         "bases_per_s": bases_per_s,
         "samples_per_s": samples_per_s,
@@ -162,7 +167,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (for baseline recording)")
     ap.add_argument("--beam", type=int, default=5)
-    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--beam-impl", default="step",
+                    choices=["xla", "loop", "step"],
+                    help="beam decode implementation (pallas kernels on TPU)")
     ap.add_argument("--no-identity", action="store_true")
     ap.add_argument("--bf16-memory", action=argparse.BooleanOptionalAction, default=True,
                     help="store attention memory in bf16 (halves decode HBM traffic; "
@@ -175,7 +183,8 @@ def main():
         ap.error("--record-baseline requires --cpu (the baseline is the CPU run)")
 
     details = run_bench(args.beam, args.chunk, with_identity=not args.no_identity,
-                        bf16_memory=args.bf16_memory, project_values=args.project_values)
+                        bf16_memory=args.bf16_memory, project_values=args.project_values,
+                        beam_impl=args.beam_impl)
     with open(DETAILS_FILE, "wt") as f:
         json.dump(details, f, indent=2)
 

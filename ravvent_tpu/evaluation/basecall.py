@@ -181,15 +181,26 @@ class BasecallEngine:
         raw_ranges = np.minimum(raw_ranges, signal.shape[0])
         event_ranges = np.minimum(event_ranges, events.shape[0])
         # Per-slab signal/event slices rebased to local coordinates: slab
-        # shapes depend only on chunk_size (not read length), so ONE compiled
-        # program serves every read; uploads carry each sample/event once.
-        slab = self.chunk_size
-        # granularities chosen so the typical slab (~54 samples and ~6 events
-        # per snippet at stride 6) lands in the first bucket
-        sig_bucket = 65536 if slab <= 1024 else 65536 * ((slab + 1023) // 1024)
-        ev_bucket = 8192 if slab <= 1024 else 8192 * ((slab + 1023) // 1024)
+        # shapes come from a small fixed ladder (chunk_size, /2, /4, ...,
+        # >=1024), so a handful of compiled programs serve every read while a
+        # short tail (e.g. 504 snippets after a 4096 slab) runs in a
+        # right-sized program instead of a mostly-padding full slab.
+        sizes = [self.chunk_size]
+        while sizes[-1] // 2 >= 1024:
+            sizes.append(sizes[-1] // 2)
+        plan = []
+        s = 0
+        while s < N:
+            rem = N - s
+            slab = min(sizes[0], min((z for z in sizes if z >= rem), default=sizes[0]))
+            plan.append((s, slab))
+            s += slab
         pending = []
-        for s in range(0, N, slab):
+        for s, slab in plan:
+            # granularities chosen so the typical slab (~54 samples and ~6
+            # events per snippet at stride 6) lands in the first bucket
+            sig_bucket = 65536 if slab <= 1024 else 65536 * ((slab + 1023) // 1024)
+            ev_bucket = 8192 if slab <= 1024 else 8192 * ((slab + 1023) // 1024)
             n = min(slab, N - s)
             rr = raw_ranges[s : s + n].astype(np.int64)
             er = event_ranges[s : s + n].astype(np.int64)

@@ -78,11 +78,10 @@ class MappingEvaluator:
             sig, rr, ev, er, max_output_len, self.beam_width
         )
         seqs = self.engine.tokens_to_sequences(tokens)
-        nuc_preds = [
-            SeqLogitsPair(seq, list(np.asarray(sc[: len(seq)], dtype=float)))
-            for seq, sc in zip(seqs, probs)
-        ]
-        return self.merger.merge(nuc_preds)
+        probs = np.asarray(probs, dtype=np.float64)
+        return self.merger.merge_arrays(
+            seqs, [sc[: len(seq)] for seq, sc in zip(seqs, probs)]
+        )
 
     def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:
         """Per-read identity (reference: ravvent_mapping_evaluator.py:31-72)."""

@@ -20,7 +20,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
+from ravvent_tpu.assembly.merger import Merger
 from ravvent_tpu.data import chiron
 from ravvent_tpu.data.snippets import load_read_compact
 from ravvent_tpu.evaluation.basecall import BasecallEngine
@@ -57,7 +57,6 @@ class PerformanceEvaluator:
 
         t_predicting = 0.0
         t_postprocessing = 0.0
-        nuc_preds: List[SeqLogitsPair] = []
         if rr.shape[0]:
             # Compact path: one (or few) device dispatches per read, with
             # on-device snippet construction; dispatches are pipelined before
@@ -70,15 +69,13 @@ class PerformanceEvaluator:
 
             start = timer()
             seqs = self.engine.tokens_to_sequences(tokens)
-            nuc_preds.extend(
-                SeqLogitsPair(seq, list(np.asarray(sc[: len(seq)], dtype=float)))
-                for seq, sc in zip(seqs, probs)
-            )
+            probs = np.asarray(probs, dtype=np.float64)
+            logit_rows = [sc[: len(seq)] for seq, sc in zip(seqs, probs)]
             t_postprocessing = timer() - start
 
         start = timer()
-        if nuc_preds:
-            self.merger.merge(nuc_preds)
+        if rr.shape[0]:
+            self.merger.merge_arrays(seqs, logit_rows)
         t_merge = timer() - start
 
         return {

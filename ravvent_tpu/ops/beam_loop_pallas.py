@@ -511,23 +511,39 @@ def _beam_step_scan(
     cum0 = jnp.broadcast_to(cum0, (B, LANES))
     fin0 = jnp.zeros((B, LANES), jnp.float32)
 
-    def body(carry, t):
-        h, c, att, emb, cum, fin = carry
+    # Early-exit loop: max_steps (the reference's ground-truth-derived decode
+    # bound, typically ~35 of the 47 static steps) is a dynamic limit — a
+    # while_loop skips the dead tail entirely instead of computing and
+    # discarding it. Dead-region outputs stay zero; _gather_tree and the
+    # score->prob conversion only consume steps < max_steps.
+    eff = jnp.minimum(jnp.asarray(max_steps, jnp.int32), total_steps)
+    toks0 = jnp.zeros((total_steps, B, beam_width), jnp.int32)
+    pars0 = jnp.zeros((total_steps, B, beam_width), jnp.int32)
+    scs0 = jnp.zeros((total_steps, B, beam_width), jnp.float32)
+
+    def cond(st):
+        return st[0] < eff
+
+    def body(st):
+        t, h, c, att, emb, cum, fin, toks, pars, scs = st
         nh, nc, natt, nemb, ncum, nfin, tok, par = step_call(
             emb, h, c, att, cum, fin, keys, values, maskf,
             weights.wx, weights.wh, weights.b, watt_h, weights.wfc, weights.bfc,
         )
-        live = t < max_steps
-        frz = lambda n, o: jnp.where(live, n, o)
+        upd = lambda a, x: jax.lax.dynamic_update_slice(
+            a, x[None, :, :beam_width], (t, 0, 0)
+        )
         return (
-            (frz(nh, h), frz(nc, c), frz(natt, att), frz(nemb, emb),
-             frz(ncum, cum), frz(nfin, fin)),
-            (tok[:, :beam_width], par[:, :beam_width], ncum[:, :beam_width]),
+            t + 1, nh, nc, natt, nemb, ncum, nfin,
+            upd(toks, tok), upd(pars, par), upd(scs, ncum),
         )
 
-    _, (tokens, parents, scores) = jax.lax.scan(
-        body, (h0, c0, att0, emb0, cum0, fin0), jnp.arange(total_steps)
+    st = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), h0, c0, att0, emb0, cum0, fin0,
+         toks0, pars0, scs0),
     )
+    tokens, parents, scores = st[7], st[8], st[9]
     # [T, B, W] each
     return tokens, parents, scores
 

@@ -60,14 +60,15 @@ class NucTokenizer:
 
     def sequences_to_texts(self, tokens: np.ndarray) -> List[str]:
         """Token rows -> uppercase base strings, start/end/pad stripped
-        (reference: basecaller.py:289-294)."""
+        (reference: basecaller.py:289-294). Vectorized: tokens map to ASCII
+        through a lookup table and non-base tokens compress out per row in C
+        (the per-token Python loop costs ~40ms/read at production sizes)."""
         tokens = np.asarray(tokens)
-        out = []
-        keep = {self.word_index[b] for b in "acgt"}
-        for row in tokens:
-            chars = [self.index_word[int(t)] for t in row if int(t) in keep]
-            out.append("".join(chars).upper())
-        return out
+        lut = np.zeros(256, dtype=np.uint8)
+        for b in "acgt":
+            lut[self.word_index[b]] = ord(b.upper())
+        ascii_rows = lut[tokens.astype(np.uint8)]
+        return [bytes(row[row != 0]).decode("ascii") for row in ascii_rows]
 
 
 NUC_TOKENIZER = NucTokenizer()

@@ -31,6 +31,10 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="datasets/sim_lambda")
+    ap.add_argument("--files-info", default=None,
+                    help="explicit training files_info JSON (default: <dataset>/train/...)")
+    ap.add_argument("--dataset-tag", default="lambda",
+                    help="dataset tag in the run-name schema (reference: ravvent.py:31)")
     ap.add_argument("--data-type", default="joint", choices=["raw", "event", "joint"])
     ap.add_argument("--rnn-type", default="bilstm")
     ap.add_argument("--attention", default="luong", choices=["luong", "bahdanau"])
@@ -71,6 +75,7 @@ def main():
             batch_size=args.batch_size, epochs=args.epochs,
             steps_per_epoch=args.steps_per_epoch,
             validation_steps=args.validation_steps, random_seed=args.seed,
+            dataset_tag=args.dataset_tag,
             checkpoint_dir=args.checkpoint_dir, info_dir=args.info_dir,
         ),
     )
@@ -78,7 +83,10 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     ds = Path(args.dataset)
-    fi_train = ds / "train" / "files_info.snippets.stride_6.json"
+    fi_train = (
+        Path(args.files_info) if args.files_info
+        else ds / "train" / "files_info.snippets.stride_6.json"
+    )
     fi_val = ds / "eval" / "files_info.val.snippets.stride_6.json"
     if not fi_train.exists():
         print("dataset missing — building it first (tools/make_dataset.py)")
