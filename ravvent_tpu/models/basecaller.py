@@ -60,22 +60,28 @@ def init_basecaller(key, cfg: ModelConfig) -> Params:
 
 
 def encode_input(
-    params: Params, raw: jnp.ndarray, event: jnp.ndarray, cfg: ModelConfig
+    params: Params, raw: jnp.ndarray, event: jnp.ndarray, cfg: ModelConfig,
+    trainable: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (enc_output [B, S, enc_out_dim], input_mask [B, S])
-    (reference: basecaller.py:384-416)."""
+    (reference: basecaller.py:384-416). ``trainable=True`` keeps the encoder
+    on the differentiable scan path (see encoder_apply)."""
     if cfg.data_type == "raw":
         mask = input_mask(raw)
-        out, _ = encoder_apply(params["encoder_raw"], raw, cfg.cell_type, cfg.bidirectional)
+        out, _ = encoder_apply(params["encoder_raw"], raw, cfg.cell_type,
+                               cfg.bidirectional, trainable)
         return out, mask
     if cfg.data_type == "event":
         mask = input_mask(event)
-        out, _ = encoder_apply(params["encoder_event"], event, cfg.cell_type, cfg.bidirectional)
+        out, _ = encoder_apply(params["encoder_event"], event, cfg.cell_type,
+                               cfg.bidirectional, trainable)
         return out, mask
     raw_mask = input_mask(raw)
     event_mask = input_mask(event)
-    out_raw, _ = encoder_apply(params["encoder_raw"], raw, cfg.cell_type, cfg.bidirectional)
-    out_event, _ = encoder_apply(params["encoder_event"], event, cfg.cell_type, cfg.bidirectional)
+    out_raw, _ = encoder_apply(params["encoder_raw"], raw, cfg.cell_type,
+                               cfg.bidirectional, trainable)
+    out_event, _ = encoder_apply(params["encoder_event"], event, cfg.cell_type,
+                                 cfg.bidirectional, trainable)
     out = jnp.concatenate([out_raw, out_event], axis=1)
     mask = jnp.concatenate([raw_mask, event_mask], axis=-1)
     return out, mask
@@ -98,7 +104,7 @@ def train_forward(
 ) -> TrainOutput:
     """Teacher-forced forward pass with loss and train accuracy
     (reference: basecaller.py:225-253)."""
-    enc_out, mask = encode_input(params, raw, event, cfg)
+    enc_out, mask = encode_input(params, raw, event, cfg, trainable=True)
     mem = attn.setup_memory(params["decoder"]["attention"], enc_out, mask)
 
     dec_input = targets[:, :-1]

@@ -296,18 +296,26 @@ def encoder_apply(
     xs: jnp.ndarray,  # [B, T, F]
     cell_type: str = "lstm",
     bidirectional: bool = True,
+    trainable: bool = False,
 ) -> Tuple[jnp.ndarray, Any]:
     """Stacked encoder; layer i's final states seed layer i+1
     (reference: basecaller.py:52-57 / keras Bidirectional initial_state
     split: forward states seed forward, backward seed backward). Returns
-    (outputs [B, T, U*dirs], final states of the last layer)."""
+    (outputs [B, T, U*dirs], final states of the last layer).
+
+    ``trainable=True`` forces the scan path (the fused Pallas layer has no
+    VJP rule — inference only)."""
     out = xs
     state = None
     if bidirectional:
         for layer in layers:
             B, T, F = out.shape
             U = layer["fwd"]["recurrent"].shape[0]
-            if cell_type == "lstm" and _pallas_enabled(B, T, F, U, out.dtype.itemsize):
+            if (
+                cell_type == "lstm"
+                and not trainable
+                and _pallas_enabled(B, T, F, U, out.dtype.itemsize)
+            ):
                 from ravvent_tpu.ops.rnn_pallas import run_bidi_lstm_pallas
 
                 out, state = run_bidi_lstm_pallas(layer, out, initial_state=state)

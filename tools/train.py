@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--seed", type=int, default=22)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--resume-epoch", type=int, default=0)
+    ap.add_argument("--resume-path", default=None,
+                    help="explicit checkpoint dir to resume from (overrides the run-name schema)")
     ap.add_argument("--checkpoint-dir", default="models")
     ap.add_argument("--info-dir", default="info")
     ap.add_argument("--export-flagship", default=None,
@@ -104,9 +106,9 @@ def main():
 
     trainer = Trainer(cfg)
     cm = CheckpointManager(".")
-    if args.resume_epoch > 0:
+    if args.resume_epoch > 0 or args.resume_path:
         state = cm.restore(
-            cfg.checkpoint_path(args.resume_epoch),
+            args.resume_path or cfg.checkpoint_path(args.resume_epoch),
             template={
                 "params": trainer.params, "opt_state": trainer.opt_state,
                 "epoch": __import__("numpy").asarray(0),
