@@ -40,6 +40,7 @@ class BasecallEngine:
         project_values: bool = False,
         use_fused_beam: bool = False,
         beam_impl: str = "xla",
+        encoder_dtype=None,
     ) -> None:
         """``memory_dtype=jnp.bfloat16`` stores the attention memory
         (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
@@ -53,7 +54,10 @@ class BasecallEngine:
           (best at small batch);
         - "step": per-step fused Pallas kernel driven by lax.scan, memory
           streamed (best at large batch — hits the HBM bandwidth floor).
-        ``use_fused_beam`` is a deprecated alias for beam_impl="loop"."""
+        ``use_fused_beam`` is a deprecated alias for beam_impl="loop".
+        ``encoder_dtype=jnp.bfloat16`` runs the encoder stream (inputs,
+        inter-layer sequences, matmuls) in bf16 with fp32 state/accumulation
+        — halves encoder streaming traffic and doubles MXU rate."""
         self.params = params
         self.cfg = cfg
         self.chunk_size = chunk_size
@@ -69,6 +73,7 @@ class BasecallEngine:
             assert cfg.decoder_depth == 1
             project_values = True
         self.project_values = project_values
+        self.encoder_dtype = encoder_dtype
 
         mcfg = cfg
 
@@ -80,8 +85,11 @@ class BasecallEngine:
                 ),
             )
 
+        def _cast(x):
+            return x.astype(self.encoder_dtype) if self.encoder_dtype else x
+
         def _beam(params, raw, event, max_steps, beam_width):
-            enc_out, mask = encode_input(params, raw, event, mcfg)
+            enc_out, mask = encode_input(params, _cast(raw), _cast(event), mcfg)
             if self.use_fused_beam:
                 from ravvent_tpu.ops.beam_loop_pallas import (
                     beam_loop_decode, beam_step_decode,
@@ -112,7 +120,7 @@ class BasecallEngine:
             return top_tokens, probs
 
         def _greedy(params, raw, event, max_steps):
-            enc_out, mask = encode_input(params, raw, event, mcfg)
+            enc_out, mask = encode_input(params, _cast(raw), _cast(event), mcfg)
             mem = _setup(params, enc_out, mask)
             tokens, logits = greedy_decode(
                 params["decoder"], mem, mcfg.vocab_size, self.total_steps,

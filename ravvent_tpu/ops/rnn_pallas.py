@@ -125,15 +125,16 @@ def _bilstm_call(xs_tm, wxf, whf, bf, wxb, whb, bb, h0, b_tile, interpret):
 
 
 def _pick_tile(B: int, T: int, F: int, U: int, itemsize: int) -> Optional[int]:
-    """Largest power-of-two batch tile whose working set fits ~half of VMEM
-    (input/output blocks are double-buffered by the pipeline)."""
-    budget = 8 * 1024 * 1024
+    """Largest power-of-two batch tile whose working set fits VMEM with
+    headroom (x/out blocks are double-buffered by the pipeline; the h0/fin
+    blocks and state scratch are f32 regardless of the stream dtype)."""
+    budget = 13 * 1024 * 1024
     for bt in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if B % bt:
             continue
         stream = 2 * bt * (2 * F + 2 * U) * itemsize  # dbl-buffered x/out blocks
-        state = 4 * bt * U * 4 * 2  # scratch + h0/fin blocks
-        weights = (2 * F + 2 * U + 2) * 4 * U * itemsize
+        state = 3 * (4 * bt * U * 4)  # scratch + h0 + fin (f32)
+        weights = 2 * (2 * F + 2 * U + 2) * 4 * U * itemsize
         if stream + state + weights <= budget:
             return bt
     return None
@@ -158,10 +159,13 @@ def run_bidi_lstm_pallas(
         h, c = initial_state
         h0 = jnp.stack([h[0], c[0], h[1], c[1]])
 
-    out_f, out_b, fin = _bilstm_call(
+    wdt = xs.dtype  # weights match the stream dtype (bf16 inference halves
+    out_f, out_b, fin = _bilstm_call(  # streaming traffic and doubles MXU
         xs.swapaxes(0, 1),  # time-major: TPU block constraint wants the
-        pf["kernel"], pf["recurrent"], pf["bias"][None, :],  # (batch, feat)
-        pb["kernel"], pb["recurrent"], pb["bias"][None, :],  # pair trailing
+        pf["kernel"].astype(wdt), pf["recurrent"].astype(wdt),  # (batch,
+        pf["bias"][None, :],                                    # feat) pair
+        pb["kernel"].astype(wdt), pb["recurrent"].astype(wdt),  # trailing
+        pb["bias"][None, :],
         h0,
         b_tile=_pick_tile(B, T, F, U, xs.dtype.itemsize),
         interpret=interpret,

@@ -35,6 +35,18 @@ def test_bilstm_layer_initial_state_parity():
     np.testing.assert_allclose(np.asarray(rc), np.asarray(c), atol=2e-6)
 
 
+def test_bilstm_layer_bf16_stream():
+    """bf16 stream (inputs/weights bf16, fp32 state+accum) tracks fp32."""
+    B, U, F, T = 8, 128, 5, 16
+    layers = init_encoder(jax.random.PRNGKey(0), U, 1, F)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+    ref_out, _ = run_bidi_layer(layers[0], "lstm", xs)
+    out, _ = run_bidi_lstm_pallas(layers[0], xs.astype(jnp.bfloat16), interpret=True)
+    assert out.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(ref_out) - np.asarray(out, dtype=np.float32)).max()
+    assert err < 0.05, err
+
+
 def test_stacked_encoder_parity_through_routing(monkeypatch):
     """encoder_apply with the pallas path forced (interpret via monkeypatched
     runner) matches the scan path for a depth-2 stack."""

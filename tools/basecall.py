@@ -41,14 +41,15 @@ def main():
     ap.add_argument("--dec-units", type=int, default=128)
     ap.add_argument("--encoder-depth", type=int, default=2)
     ap.add_argument("--decoder-depth", type=int, default=1)
-    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--beam-impl", default="step", choices=["xla", "loop", "step"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     from ravvent_tpu.config import ModelConfig
     from ravvent_tpu.data.snippets import prepare_compact
     from ravvent_tpu.data import chiron
-    from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
+    from ravvent_tpu.assembly.merger import Merger
     from ravvent_tpu.evaluation.basecall import BasecallEngine
     from ravvent_tpu.models.basecaller import init_basecaller
     from ravvent_tpu.training.checkpoints import CheckpointManager
@@ -68,7 +69,11 @@ def main():
     else:
         print("WARNING: no checkpoint found — using random weights", file=sys.stderr)
 
-    engine = BasecallEngine(params, cfg, chunk_size=args.chunk)
+    import jax.numpy as jnp
+    beam_impl = args.beam_impl if jax.default_backend() in ("tpu", "axon") else "xla"
+    engine = BasecallEngine(params, cfg, chunk_size=args.chunk,
+                            memory_dtype=jnp.bfloat16, project_values=True,
+                            beam_impl=beam_impl)
     merger = Merger()
 
     in_dir = Path(args.input)
@@ -101,11 +106,10 @@ def main():
                 continue
             tokens, probs = engine.predict_beam_compact(sig, rr, ev, er, 40, args.beam)
             seqs = engine.tokens_to_sequences(tokens)
-            preds = [
-                SeqLogitsPair(s, list(np.asarray(p[: len(s)], dtype=float)))
-                for s, p in zip(seqs, probs)
-            ]
-            merged = merger.merge(preds)
+            probs = np.asarray(probs, dtype=np.float64)
+            merged = merger.merge_arrays(
+                seqs, [p[: len(s)] for s, p in zip(seqs, probs)]
+            )
             n_bases += len(merged.seq)
             if args.format == "fasta":
                 out.write(f">{name}\n{merged.seq}\n")
