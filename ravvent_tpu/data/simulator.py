@@ -101,6 +101,21 @@ def generate_reduced_genome(
     return "".join(kmer_list[i] for i in picks)
 
 
+def base_kmer_vocab(genome: str) -> List[str]:
+    """Recover the base 6-mer vocabulary of a reduced genome (which is a
+    concatenation of aligned 6-mer chunks)."""
+    return sorted({genome[i : i + KMER] for i in range(0, len(genome) - KMER + 1, KMER)})
+
+
+def genome_from_vocab(kmer_list: List[str], length: int, rng: np.random.Generator) -> str:
+    """New genome drawn from an existing base-6-mer vocabulary — the
+    cross-genome analog of the reference's lambda→ecoli transfer (real
+    genomes share their 6-mer vocabulary; a fresh vocabulary draw would
+    test out-of-vocabulary generalization instead)."""
+    picks = rng.integers(0, len(kmer_list), length // KMER)
+    return "".join(kmer_list[i] for i in picks)
+
+
 def random_genome(length: int, rng: np.random.Generator) -> str:
     return "".join(rng.choice(BASES, length))
 

@@ -128,3 +128,22 @@ def test_generator_prefetch_epoch(tmp_path):
     g = SnippetBatchGenerator(fi, stride=6, batch_size=4, cache_dir=str(tmp_path / "cache"))
     batches = list(g.epoch())
     assert len(batches) == len(g.fetch_ids) or len(batches) > 0
+
+
+def test_genome_vocab_roundtrip():
+    """base_kmer_vocab recovers the reduced genome's vocabulary, and
+    genome_from_vocab builds a new genome introducing no new 6-mers
+    (the cross-genome transfer protocol: shared vocabulary, new sequence)."""
+    rng = np.random.default_rng(3)
+    g1 = simulator.generate_reduced_genome(12, 6000, rng)
+    vocab = simulator.base_kmer_vocab(g1)
+    assert len(vocab) == 12
+    g2 = simulator.genome_from_vocab(vocab, 6000, np.random.default_rng(4))
+    assert g2 != g1 and len(g2) == 6000
+    mers_1 = {g1[i : i + 6] for i in range(len(g1) - 5)}
+    mers_2 = {g2[i : i + 6] for i in range(len(g2) - 5)}
+    assert mers_2 <= mers_1 | {
+        m for m in mers_2 if any(m in v + w for v in vocab for w in vocab)
+    }
+    # aligned chunks are exactly the vocabulary
+    assert set(simulator.base_kmer_vocab(g2)) <= set(vocab)
