@@ -128,7 +128,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
     cache = str(BENCH_DATA / "cache")
     pe = PerformanceEvaluator(engine, beam_width=beam_width, cache_dir=cache)
     results = pe.evaluate_files(
-        fi, BENCH_DATA / "perf_results.json", verbose=False, repeats=3
+        fi, BENCH_DATA / "perf_results.json", verbose=False, repeats=5
     )
 
     bases = sum(r["bases_num"] for r in results)
