@@ -96,7 +96,8 @@ def load_flagship():
 
 def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool = True,
               bf16_memory: bool = False, project_values: bool = False,
-              beam_impl: str = "xla"):
+              beam_impl: str = "xla", bf16_encoder: bool = False,
+              pack_u8: bool = False):
     import jax.numpy as jnp
 
     from ravvent_tpu.evaluation.basecall import BasecallEngine
@@ -112,6 +113,8 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         memory_dtype=jnp.bfloat16 if bf16_memory else None,
         project_values=project_values,
         beam_impl=beam_impl,
+        encoder_dtype=jnp.bfloat16 if bf16_encoder else None,
+        pack_u8=pack_u8,
     )
 
     # Warm up the compact-path compile (steady-state throughput is the
@@ -139,6 +142,8 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
     details = {
         "device": str(jax.devices()[0]),
         "bf16_memory": bf16_memory,
+        "bf16_encoder": bf16_encoder,
+        "pack_u8": pack_u8,
         "project_values": project_values,
         "beam_width": beam_width,
         "chunk_size": chunk_size,
@@ -177,6 +182,10 @@ def main():
                          "identity cost measured at ~0.1pt)")
     ap.add_argument("--project-values", action=argparse.BooleanOptionalAction, default=True,
                     help="pre-project attention values (equivalent math, less traffic)")
+    ap.add_argument("--bf16-encoder", action=argparse.BooleanOptionalAction, default=False,
+                    help="run the encoder stream in bf16 (fp32 state/accum)")
+    ap.add_argument("--pack-u8", action=argparse.BooleanOptionalAction, default=False,
+                    help="nibble-pack tokens + u8-quantize step probs (2x less download)")
     args = ap.parse_args()
 
     if args.record_baseline and not args.cpu:
@@ -184,7 +193,8 @@ def main():
 
     details = run_bench(args.beam, args.chunk, with_identity=not args.no_identity,
                         bf16_memory=args.bf16_memory, project_values=args.project_values,
-                        beam_impl=args.beam_impl)
+                        beam_impl=args.beam_impl, bf16_encoder=args.bf16_encoder,
+                        pack_u8=args.pack_u8)
     with open(DETAILS_FILE, "wt") as f:
         json.dump(details, f, indent=2)
 

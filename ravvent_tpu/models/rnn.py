@@ -32,6 +32,15 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
+def _stream_mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matmul honoring a bf16 stream: when ``a`` is bf16, run the MXU matmul
+    in bf16 with fp32 accumulation; otherwise plain fp32."""
+    if a.dtype == jnp.bfloat16:
+        return jnp.matmul(a, b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return a @ b
+
+
 def glorot_uniform(key, shape, dtype=jnp.float32):
     fan_in, fan_out = shape[0], shape[1]
     limit = jnp.sqrt(6.0 / (fan_in + fan_out))
@@ -152,17 +161,19 @@ def run_rnn_layer(
     _, step, zero_state, ngates = CELLS[cell_type]
     B, T, _ = xs.shape
     units = p["recurrent"].shape[0]
+    # State/accumulation stays fp32 even on a bf16 input stream; only the
+    # matmul operands are bf16 (_stream_mm).
     if initial_state is None:
-        initial_state = zero_state(B, units, xs.dtype)
+        initial_state = zero_state(B, units)
 
     # Time-parallel input projection: one [B*T, F] @ [F, ngates*U] matmul.
     bias = p["bias"] if cell_type == "lstm" else p["input_bias"]
-    proj = xs.reshape(B * T, -1) @ p["kernel"] + bias
+    proj = _stream_mm(xs.reshape(B * T, -1), p["kernel"]) + bias
     proj = proj.reshape(B, T, ngates * units).swapaxes(0, 1)  # [T, B, G*U]
 
     def body(carry, xp):
         carry, h = step(p, carry, None, x_proj=xp)
-        return carry, h
+        return carry, h.astype(xs.dtype)
 
     final, outs = jax.lax.scan(body, initial_state, proj, reverse=reverse)
     return outs.swapaxes(0, 1), final
@@ -188,8 +199,8 @@ def run_bidi_layer(
     ngates = CELLS[cell_type][3]
 
     bias_key = "bias" if cell_type == "lstm" else "input_bias"
-    proj_f = xs.reshape(B * T, -1) @ pf["kernel"] + pf[bias_key]
-    proj_b = xs[:, ::-1].reshape(B * T, -1) @ pb["kernel"] + pb[bias_key]
+    proj_f = _stream_mm(xs.reshape(B * T, -1), pf["kernel"]) + pf[bias_key]
+    proj_b = _stream_mm(xs[:, ::-1].reshape(B * T, -1), pb["kernel"]) + pb[bias_key]
     proj = jnp.stack(
         [
             proj_f.reshape(B, T, ngates * units).swapaxes(0, 1),
@@ -199,36 +210,45 @@ def run_bidi_layer(
     )  # [T, 2, B, G*U]
 
     R = jnp.stack([pf["recurrent"], pb["recurrent"]])  # [2, U, G*U]
+    # bf16 stream: bf16 matmul operands, fp32 state/accumulation
+    stream = xs.dtype
+    if stream == jnp.bfloat16:
+        R = R.astype(jnp.bfloat16)
+
+    def _rec(h):
+        a = h.astype(stream) if stream == jnp.bfloat16 else h
+        return jnp.einsum("dbu,dug->dbg", a, R,
+                          preferred_element_type=jnp.float32)
 
     if cell_type == "lstm":
         if initial_state is None:
-            h0 = jnp.zeros((2, B, units), xs.dtype)
-            c0 = jnp.zeros((2, B, units), xs.dtype)
+            h0 = jnp.zeros((2, B, units))
+            c0 = jnp.zeros((2, B, units))
         else:
             h0, c0 = initial_state
 
         def body(carry, zt):
             h, c = carry
-            z = zt + jnp.einsum("dbu,dug->dbg", h, R)
+            z = zt + _rec(h)
             i, f, g, o = (
                 z[..., :units], z[..., units : 2 * units],
                 z[..., 2 * units : 3 * units], z[..., 3 * units :],
             )
             c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
-            return (h, c), h
+            return (h, c), h.astype(stream)
 
         final, outs = jax.lax.scan(body, (h0, c0), proj)
     else:
         rbias = jnp.stack([pf["recurrent_bias"], pb["recurrent_bias"]])  # [2, G*U]
         if initial_state is None:
-            h0 = jnp.zeros((2, B, units), xs.dtype)
+            h0 = jnp.zeros((2, B, units))
         else:
             (h0,) = initial_state
 
         def body(carry, zt):
             (h,) = carry
-            mi = jnp.einsum("dbu,dug->dbg", h, R) + rbias[:, None, :]
+            mi = _rec(h) + rbias[:, None, :]
             xz, xr, xh = (
                 zt[..., :units], zt[..., units : 2 * units], zt[..., 2 * units :],
             )
@@ -239,7 +259,7 @@ def run_bidi_layer(
             r = jax.nn.sigmoid(xr + rr)
             hh = jnp.tanh(xh + r * rh)
             h = z * h + (1.0 - z) * hh
-            return (h,), h
+            return (h,), h.astype(stream)
 
         final, outs = jax.lax.scan(body, (h0,), proj)
 

@@ -45,6 +45,29 @@ def test_compact_matches_materialized(tmp_path):
     np.testing.assert_allclose(p1, p2, rtol=2e-2, atol=1e-3)  # bf16 download
 
 
+def test_pack_u8_fetch_matches_baseline(tmp_path):
+    """pack_u8=True (nibble tokens + u8-quantized probs) returns identical
+    tokens and probs within the 1/255 quantization step."""
+    rng = np.random.default_rng(6)
+    genome = simulator.random_genome(1500, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    sp, lp = tmp_path / "r.signal", tmp_path / "r.label"
+    chiron.write_read(sp, lp, sig, ranges, genome)
+    sigc, rr, ev, er, nuc = load_read_compact(sp, lp, stride=6)
+
+    cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    max_len = int((nuc != 0).sum(axis=1).max())
+    base = BasecallEngine(params, cfg, chunk_size=64)
+    packed = BasecallEngine(params, cfg, chunk_size=64, pack_u8=True)
+    t1, p1 = base.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    t2, p2 = packed.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    np.testing.assert_array_equal(t1, t2)
+    # the packed path clips to [0, 1] (baseline probs can exceed 1 by fp
+    # rounding in the post-end fill region, which callers truncate anyway)
+    assert np.abs(np.clip(p1, 0, 1) - p2).max() <= 0.5 / 255 + 5e-3
+
+
 def test_projected_memory_matches_baseline(tmp_path):
     """project_values=True is mathematically equivalent: identical tokens,
     probs equal to fp32 tolerance."""

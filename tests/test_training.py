@@ -112,3 +112,34 @@ def test_checkpoint_roundtrip(dataset, tmp_path):
     m_a = tr.validate_on_batch(gen[0])
     m_b = tr2.validate_on_batch(gen[0])
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+
+
+def test_cross_modality_warm_start(dataset, tmp_path):
+    """A raw-model params checkpoint warm-starts a joint trainer: the params
+    tree carries both encoders regardless of data_type (models/basecaller.py
+    init_basecaller), so trees are interchangeable — the basis of
+    tools/train.py --init-from (seed joint from a trained raw model)."""
+    d, fi = dataset
+    cfg_raw = small_cfg()
+    cfg_raw = dataclasses.replace(
+        cfg_raw, model=dataclasses.replace(cfg_raw.model, data_type="raw"))
+    tr_raw = Trainer(cfg_raw, mesh=make_mesh(1))
+    gen = SnippetBatchGenerator(fi, stride=6, batch_size=8, cache_dir=str(d / "cache"))
+    tr_raw.fit(gen, epochs=1, steps_per_epoch=3, verbose=False)
+
+    cm = CheckpointManager(str(tmp_path))
+    cm.save("warm_src", tr_raw.params, epoch=1)
+
+    cfg_joint = small_cfg()  # data_type="joint"
+    tr_joint = Trainer(cfg_joint, mesh=make_mesh(1))
+    restored = cm.restore("warm_src", template={"params": tr_joint.params})
+    tr_joint.params = restored["params"]
+    # raw-encoder leaves carried over exactly
+    for a, b in zip(jax.tree_util.tree_leaves(tr_raw.params["encoder_raw"]),
+                    jax.tree_util.tree_leaves(tr_joint.params["encoder_raw"])):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+    # and the joint model both validates and trains from the warm start
+    m = tr_joint.validate_on_batch(gen[0])
+    assert np.isfinite(float(m["loss"]))
+    m2 = tr_joint.train_on_batch(gen[0])
+    assert np.isfinite(float(m2["loss"]))

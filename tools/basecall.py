@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--decoder-depth", type=int, default=1)
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--beam-impl", default="step", choices=["xla", "loop", "step"])
+    ap.add_argument("--pack-u8", action=argparse.BooleanOptionalAction, default=True,
+                    help="nibble-pack tokens + u8-quantize step probs (2x less download)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -73,7 +75,7 @@ def main():
     beam_impl = args.beam_impl if jax.default_backend() in ("tpu", "axon") else "xla"
     engine = BasecallEngine(params, cfg, chunk_size=args.chunk,
                             memory_dtype=jnp.bfloat16, project_values=True,
-                            beam_impl=beam_impl)
+                            beam_impl=beam_impl, pack_u8=args.pack_u8)
     merger = Merger()
 
     in_dir = Path(args.input)

@@ -73,7 +73,10 @@ def main():
     results = {}
     best_params = best_ep = None
     for ep in [int(e) for e in args.epochs.split(",")]:
-        name = f"{args.run_name}.{ep}"
+        # training saves zero-padded epoch dirs (reference {epoch:02d} schema)
+        name = f"{args.run_name}.{ep:02d}"
+        if not (base / name).exists():
+            name = f"{args.run_name}.{ep}"
         if not (base / name).exists():
             print(f"epoch {ep}: checkpoint missing ({base / name})", file=sys.stderr)
             continue

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--resume-epoch", type=int, default=0)
     ap.add_argument("--resume-path", default=None,
                     help="explicit checkpoint dir to resume from (overrides the run-name schema)")
+    ap.add_argument("--init-from", default=None,
+                    help="params-only checkpoint to warm-start from (fresh optimizer; "
+                         "e.g. seed a joint model from a trained raw model)")
     ap.add_argument("--checkpoint-dir", default="models")
     ap.add_argument("--info-dir", default="info")
     ap.add_argument("--export-flagship", default=None,
@@ -106,6 +109,16 @@ def main():
 
     trainer = Trainer(cfg)
     cm = CheckpointManager(".")
+    if args.init_from:
+        # Params-only warm start (e.g. seed a joint model from a trained
+        # raw model: the params tree carries both encoders regardless of
+        # data_type, so trees are interchangeable across modalities).
+        init = Path(args.init_from)
+        cm0 = CheckpointManager(str(init.parent))
+        trainer.params = cm0.restore(
+            init.name, template={"params": trainer.params}
+        )["params"]
+        print(f"warm-started params from {init}")
     if args.resume_epoch > 0 or args.resume_path:
         state = cm.restore(
             args.resume_path or cfg.checkpoint_path(args.resume_epoch),
