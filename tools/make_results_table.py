@@ -112,17 +112,20 @@ def main():
         p.write_text(json.dumps(merged, indent=2))
         print(f"wrote {p}")
 
-    # markdown summary
+    # markdown summary — rendered from the merged JSON artifacts so partial
+    # (re)runs still produce the complete table
     lines = ["# Accuracy results (ref-length-weighted minimap2-convention identity)",
              "", "Identity (total) per config; reference schema "
              "`accuracy_results_all.*.json` files alongside.", ""]
-    for (ds, beam) in sorted(tables):
-        lines.append(f"## {ds}, beam {beam}")
+    for p in sorted(out_dir.glob("accuracy_results_all.*.json")):
+        _, tag, beam_tag, _ = p.name.split(".")
+        merged = json.loads(p.read_text())
+        lines.append(f"## {tag}, {beam_tag.replace('beam', 'beam ')}")
         lines.append("")
         lines.append("| depths | raw | event | joint |")
         lines.append("|---|---|---|---|")
-        for key in sorted(tables[(ds, beam)]):
-            row = tables[(ds, beam)][key]
+        for key in sorted(merged):
+            row = merged[key]
             cells = [str(row.get(dt, ["-"])[0]) for dt in ("raw", "event", "joint")]
             lines.append(f"| {key} | " + " | ".join(cells) + " |")
         lines.append("")
