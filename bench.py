@@ -97,7 +97,7 @@ def load_flagship():
 def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool = True,
               bf16_memory: bool = False, project_values: bool = False,
               beam_impl: str = "xla", bf16_encoder: bool = False,
-              pack_u8: bool = False):
+              pack_u8: bool = False, trace_dir: str | None = None):
     import jax.numpy as jnp
 
     from ravvent_tpu.evaluation.basecall import BasecallEngine
@@ -130,9 +130,16 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
 
     cache = str(BENCH_DATA / "cache")
     pe = PerformanceEvaluator(engine, beam_width=beam_width, cache_dir=cache)
-    results = pe.evaluate_files(
-        fi, BENCH_DATA / "perf_results.json", verbose=False, repeats=5
-    )
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            results = pe.evaluate_files(
+                fi, BENCH_DATA / "perf_results.json", verbose=False, repeats=2
+            )
+        print(f"profiler trace written to {trace_dir}", file=sys.stderr)
+    else:
+        results = pe.evaluate_files(
+            fi, BENCH_DATA / "perf_results.json", verbose=False, repeats=5
+        )
 
     bases = sum(r["bases_num"] for r in results)
     t_proc = sum(r["total_processing"] for r in results)
@@ -186,6 +193,8 @@ def main():
                     help="run the encoder stream in bf16 (fp32 state/accum)")
     ap.add_argument("--pack-u8", action=argparse.BooleanOptionalAction, default=False,
                     help="nibble-pack tokens + u8-quantize step probs (2x less download)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the perf run to DIR")
     args = ap.parse_args()
 
     if args.record_baseline and not args.cpu:
@@ -194,7 +203,7 @@ def main():
     details = run_bench(args.beam, args.chunk, with_identity=not args.no_identity,
                         bf16_memory=args.bf16_memory, project_values=args.project_values,
                         beam_impl=args.beam_impl, bf16_encoder=args.bf16_encoder,
-                        pack_u8=args.pack_u8)
+                        pack_u8=args.pack_u8, trace_dir=args.trace)
     with open(DETAILS_FILE, "wt") as f:
         json.dump(details, f, indent=2)
 

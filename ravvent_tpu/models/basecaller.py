@@ -101,10 +101,16 @@ def train_forward(
     cfg: ModelConfig,
     sampling_probability: float = 0.0,
     rng: jax.Array | None = None,
+    memory_constraint=None,
 ) -> TrainOutput:
     """Teacher-forced forward pass with loss and train accuracy
-    (reference: basecaller.py:225-253)."""
+    (reference: basecaller.py:225-253). ``memory_constraint``, when given,
+    is applied to (enc_out, mask) — e.g. a sharding constraint that
+    sequence-shards the attention memory over a 'model' mesh axis
+    (parallel.mesh.memory_sharding)."""
     enc_out, mask = encode_input(params, raw, event, cfg, trainable=True)
+    if memory_constraint is not None:
+        enc_out, mask = memory_constraint(enc_out, mask)
     mem = attn.setup_memory(params["decoder"]["attention"], enc_out, mask)
 
     dec_input = targets[:, :-1]

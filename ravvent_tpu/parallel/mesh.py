@@ -21,12 +21,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    model_shards: int = 1,
+) -> Mesh:
+    """1-D ``('data',)`` mesh, or — with ``model_shards > 1`` — a 2-D
+    ``('data', 'model')`` mesh whose 'model' axis sequence-shards the
+    attention memory (see ``memory_sharding``). TP/PP/EP do not apply to
+    this workload (128-unit RNN, no experts, depth<=2 decoder — SURVEY.md
+    §2.3); the model's long axis is the attention memory (<=230 positions)
+    and the snippet batch, which these two axes cover."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.array(devices), ("data",))
+    devices = np.array(devices)
+    if model_shards > 1:
+        assert devices.size % model_shards == 0, (
+            f"{devices.size} devices not divisible by model_shards={model_shards}")
+        return Mesh(devices.reshape(-1, model_shards), ("data", "model"))
+    return Mesh(devices, ("data",))
+
+
+def memory_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """Sharding for the attention memory [B, S, U] (and its mask [B, S]):
+    batch over 'data', the S (time/memory-position) axis over 'model' —
+    sequence-parallel attention. Per decode step GSPMD turns the masked
+    softmax and context reductions over S into psums across 'model'.
+    Returns None when the mesh has no model axis (pure DP)."""
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        return NamedSharding(mesh, P("data", "model"))
+    return None
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -34,7 +34,9 @@ from ravvent_tpu.models.basecaller import (
     train_forward,
     val_metrics,
 )
-from ravvent_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ravvent_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, memory_sharding, replicated_sharding,
+)
 from ravvent_tpu.training.checkpoints import CheckpointManager
 from ravvent_tpu.training.logging import CSVLogger
 
@@ -98,9 +100,22 @@ class Trainer:
         optimizer = self.optimizer
         sampling_p = self.sampling_probability
 
+        # Sequence-parallel attention memory on a ('data', 'model') mesh:
+        # the memory's S axis shards over 'model'; GSPMD inserts the softmax
+        # and context psums. None on a pure-DP mesh.
+        mem_s = memory_sharding(self.mesh)
+        constrain = None
+        if mem_s is not None:
+            def constrain(enc_out, mask):
+                return (
+                    jax.lax.with_sharding_constraint(enc_out, mem_s),
+                    jax.lax.with_sharding_constraint(mask, mem_s),
+                )
+
         def train_step(params, opt_state, rng, raw, event, targets):
             def loss_fn(p):
-                out = train_forward(p, raw, event, targets, mcfg, sampling_p, rng)
+                out = train_forward(p, raw, event, targets, mcfg, sampling_p, rng,
+                                    memory_constraint=constrain)
                 return out.loss, out
 
             (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -110,6 +125,8 @@ class Trainer:
 
         def val_step(params, raw, event, targets):
             enc_out, mask = encode_input(params, raw, event, mcfg)
+            if constrain is not None:
+                enc_out, mask = constrain(enc_out, mask)
             mem = attn.setup_memory(params["decoder"]["attention"], enc_out, mask)
             T = targets.shape[1]
             max_steps = batch_max_target_len(targets) - 1  # reference quirk #4

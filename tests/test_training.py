@@ -85,6 +85,30 @@ def test_dp_sharded_step_matches_single_device(dataset):
         chex_assert(np.array(a), np.array(b), rtol=2e-4, atol=1e-6)
 
 
+def test_seq_parallel_attention_matches_single_device(dataset):
+    """(4 data x 2 model) mesh — attention memory sequence-sharded over
+    'model' — must match the single-device step (GSPMD inserts the softmax
+    and context psums over the sharded S axis)."""
+    d, fi = dataset
+    cfg = small_cfg()
+    gen = SnippetBatchGenerator(fi, stride=6, batch_size=8, shuffle=False,
+                                cache_dir=str(d / "cache"))
+    batch = gen[0]
+
+    tr1 = Trainer(cfg, mesh=make_mesh(1))
+    tr42 = Trainer(cfg, mesh=make_mesh(8, model_shards=2))
+    assert tr42.mesh.shape == {"data": 4, "model": 2}
+    m1 = tr1.train_on_batch(batch)
+    m42 = tr42.train_on_batch(batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m42["loss"]), rtol=1e-5)
+    v1 = tr1.validate_on_batch(batch)
+    v42 = tr42.validate_on_batch(batch)
+    np.testing.assert_allclose(float(v1["loss"]), float(v42["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(tr1.params),
+                    jax.tree_util.tree_leaves(tr42.params)):
+        np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-4, atol=1e-6)
+
+
 def test_checkpoint_roundtrip(dataset, tmp_path):
     d, fi = dataset
     cfg = small_cfg()
