@@ -42,6 +42,7 @@ class BasecallEngine:
         beam_impl: str = "xla",
         encoder_dtype=None,
         pack_u8: bool = False,
+        transport_dtype: str = "f16",
     ) -> None:
         """``memory_dtype=jnp.bfloat16`` stores the attention memory
         (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
@@ -62,8 +63,16 @@ class BasecallEngine:
         ``pack_u8`` shrinks the per-read result fetch ~2x: tokens packed two
         per byte (vocab 7 fits a nibble) and step-probs quantized to u8
         (1/255 steps — probs only rank overlap bases in the merge fold and
-        set FASTQ quals)."""
-        self.params = params
+        set FASTQ quals).
+        ``transport_dtype`` ("f16" default, or "f32") sets the wire format of
+        signal/event features on the compact path: z-scored values in ~[-5,5]
+        keep ~3 significant digits in f16, far below the pore-noise floor,
+        for half the host->device bytes; "f32" is bit-exact with the
+        materialized path."""
+        # Commit the weights to the device once. Checkpoint restores hand
+        # back numpy arrays; leaving them host-side makes EVERY dispatch
+        # re-upload the full tree (~5MB, >100ms over a remote-attached link).
+        self.params = jax.device_put(params)
         self.cfg = cfg
         self.chunk_size = chunk_size
         self.total_steps = total_steps
@@ -80,6 +89,8 @@ class BasecallEngine:
         self.project_values = project_values
         self.encoder_dtype = encoder_dtype
         self.pack_u8 = pack_u8
+        assert transport_dtype in ("f16", "f32")
+        self.transport_dtype = transport_dtype
 
         mcfg = cfg
 
@@ -184,15 +195,22 @@ class BasecallEngine:
             # Single-upload variant: signal/events/ranges arrive as ONE u8
             # buffer (host packs byte views back-to-back). On a remote-attached
             # device every host->device message pays fixed link latency
-            # (~30-50ms here), so one upload instead of four is a direct win;
-            # the unpack below is a few bitcasts in the same program.
+            # (~30-50ms here) plus ~10-20MB/s of bandwidth, so one small
+            # upload instead of four larger ones is a direct win. Signal and
+            # event features travel in transport_dtype (f16 by default — see
+            # __init__); the unpack below is a few bitcasts in the same
+            # program.
+            it = 2 if self.transport_dtype == "f16" else 4
+            wire = jnp.float16 if self.transport_dtype == "f16" else jnp.float32
             off = 0
             sig = jax.lax.bitcast_convert_type(
-                buf[off : off + S_b * 4].reshape(S_b, 4), jnp.float32)
-            off += S_b * 4
+                buf[off : off + S_b * it].reshape(S_b, it), wire
+            ).astype(jnp.float32)
+            off += S_b * it
             events = jax.lax.bitcast_convert_type(
-                buf[off : off + E_b * 20].reshape(E_b, 5, 4), jnp.float32)
-            off += E_b * 20
+                buf[off : off + E_b * 5 * it].reshape(E_b, 5, it), wire
+            ).astype(jnp.float32)
+            off += E_b * 5 * it
             rest = buf[off:]
             slab = rest.shape[0] // 16
             rr = jax.lax.bitcast_convert_type(
@@ -261,14 +279,19 @@ class BasecallEngine:
             S_b = self._bucket(span_s, sig_bucket)
             E_b = self._bucket(span_e, ev_bucket)
             # One u8 buffer per slab = one host->device message (fixed link
-            # latency dominates small-transfer cost in this environment).
-            buf = np.zeros(S_b * 4 + E_b * 20 + slab * 16, np.uint8)
+            # latency dominates small-transfer cost in this environment);
+            # signal/events travel f16 by default — half the bytes over the
+            # slow link (see __init__ transport_dtype).
+            it = 2 if self.transport_dtype == "f16" else 4
+            wire = np.float16 if self.transport_dtype == "f16" else np.float32
+            buf = np.zeros((S_b + E_b * 5) * it + slab * 16, np.uint8)
             off = 0
-            buf[off : off + span_s * 4] = signal[lo_s:hi_s].view(np.uint8)
-            off += S_b * 4
-            buf[off : off + span_e * 20] = (
-                np.ascontiguousarray(events[lo_e:hi_e]).view(np.uint8).reshape(-1))
-            off += E_b * 20
+            buf[off : off + span_s * it] = (
+                signal[lo_s:hi_s].astype(wire).view(np.uint8))
+            off += S_b * it
+            buf[off : off + span_e * 5 * it] = (
+                events[lo_e:hi_e].astype(wire).view(np.uint8).reshape(-1))
+            off += E_b * 5 * it
             rr_l = np.zeros((slab, 2), np.int32)
             rr_l[:n] = rr - lo_s
             er_l = np.zeros((slab, 2), np.int32)

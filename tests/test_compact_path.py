@@ -35,14 +35,23 @@ def test_compact_matches_materialized(tmp_path):
         m = min(e2 - s2, 30)
         np.testing.assert_array_equal(event[i, :m], ev[s2 : s2 + m])
 
-    # decoded outputs must agree between the two engine paths
+    # decoded outputs must agree between the two engine paths (f32 wire
+    # format is bit-exact; the default f16 transport is covered below)
     cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
-    engine = BasecallEngine(init_basecaller(jax.random.PRNGKey(0), cfg), cfg, chunk_size=64)
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    engine = BasecallEngine(params, cfg, chunk_size=64, transport_dtype="f32")
     max_len = int((nuc != 0).sum(axis=1).max())
     t1, p1 = engine.predict_beam(raw, event, max_len, 3)
     t2, p2 = engine.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
     np.testing.assert_array_equal(t1, t2)
     np.testing.assert_allclose(p1, p2, rtol=2e-2, atol=1e-3)  # bf16 download
+
+    # default f16 transport: inputs quantized to ~1e-3 relative — decoded
+    # tokens must agree on nearly every snippet (beam ties may flip a few
+    # rows under these untrained random weights)
+    eng16 = BasecallEngine(params, cfg, chunk_size=64)
+    t3, _ = eng16.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    assert (t3 == t2).all(axis=1).mean() > 0.9
 
 
 def test_pack_u8_fetch_matches_baseline(tmp_path):
