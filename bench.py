@@ -97,7 +97,8 @@ def load_flagship():
 def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool = True,
               bf16_memory: bool = False, project_values: bool = False,
               beam_impl: str = "xla", bf16_encoder: bool = True,
-              pack_u8: bool = True, trace_dir: str | None = None):
+              pack_u8: bool = True, trace_dir: str | None = None,
+              transport: str = "f16"):
     import jax.numpy as jnp
 
     from ravvent_tpu.evaluation.basecall import BasecallEngine
@@ -115,6 +116,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         beam_impl=beam_impl,
         encoder_dtype=jnp.bfloat16 if bf16_encoder else None,
         pack_u8=pack_u8,
+        transport_dtype=transport,
     )
 
     # Warm up the compact-path compile (steady-state throughput is the
@@ -155,6 +157,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         "beam_width": beam_width,
         "chunk_size": chunk_size,
         "beam_impl": beam_impl,
+        "transport": transport,
         "trained_checkpoint": trained,
         "bases_per_s": bases_per_s,
         "samples_per_s": samples_per_s,
@@ -194,6 +197,8 @@ def main():
                          "identity cost measured at 0.02pt)")
     ap.add_argument("--pack-u8", action=argparse.BooleanOptionalAction, default=True,
                     help="nibble-pack tokens + u8-quantize step probs (2x less download)")
+    ap.add_argument("--transport", default="f16", choices=["f16", "f32", "i8"],
+                    help="wire format of compact-path inputs")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the perf run to DIR")
     args = ap.parse_args()
@@ -204,7 +209,8 @@ def main():
     details = run_bench(args.beam, args.chunk, with_identity=not args.no_identity,
                         bf16_memory=args.bf16_memory, project_values=args.project_values,
                         beam_impl=args.beam_impl, bf16_encoder=args.bf16_encoder,
-                        pack_u8=args.pack_u8, trace_dir=args.trace)
+                        pack_u8=args.pack_u8, trace_dir=args.trace,
+                        transport=args.transport)
     with open(DETAILS_FILE, "wt") as f:
         json.dump(details, f, indent=2)
 
