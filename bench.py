@@ -95,7 +95,7 @@ def load_flagship():
 
 
 def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool = True,
-              bf16_memory: bool = False, project_values: bool = False,
+              memory: str = "bf16", project_values: bool = False,
               beam_impl: str = "xla", bf16_encoder: bool = True,
               pack_u8: bool = True, trace_dir: str | None = None,
               transport: str = "f16"):
@@ -109,9 +109,10 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
     cfg, params, trained = load_flagship()
     if beam_impl != "xla" and jax.default_backend() not in ("tpu", "axon"):
         beam_impl = "xla"  # pallas kernels target TPU; CPU baseline stays XLA
+    mem_dtype = {"bf16": jnp.bfloat16, "i8": "i8", "f32": None}[memory]
     engine = BasecallEngine(
         params, cfg, chunk_size=chunk_size,
-        memory_dtype=jnp.bfloat16 if bf16_memory else None,
+        memory_dtype=mem_dtype,
         project_values=project_values,
         beam_impl=beam_impl,
         encoder_dtype=jnp.bfloat16 if bf16_encoder else None,
@@ -150,7 +151,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
 
     details = {
         "device": str(jax.devices()[0]),
-        "bf16_memory": bf16_memory,
+        "memory": memory,
         "bf16_encoder": bf16_encoder,
         "pack_u8": pack_u8,
         "project_values": project_values,
@@ -187,9 +188,9 @@ def main():
                     choices=["xla", "loop", "step"],
                     help="beam decode implementation (pallas kernels on TPU)")
     ap.add_argument("--no-identity", action="store_true")
-    ap.add_argument("--bf16-memory", action=argparse.BooleanOptionalAction, default=True,
-                    help="store attention memory in bf16 (halves decode HBM traffic; "
-                         "identity cost measured at ~0.1pt)")
+    ap.add_argument("--memory", default="bf16", choices=["bf16", "i8", "f32"],
+                    help="attention memory storage: bf16 halves decode HBM traffic "
+                         "(~0.1pt identity), i8 halves it again (per-position scales)")
     ap.add_argument("--project-values", action=argparse.BooleanOptionalAction, default=True,
                     help="pre-project attention values (equivalent math, less traffic)")
     ap.add_argument("--bf16-encoder", action=argparse.BooleanOptionalAction, default=True,
@@ -207,7 +208,7 @@ def main():
         ap.error("--record-baseline requires --cpu (the baseline is the CPU run)")
 
     details = run_bench(args.beam, args.chunk, with_identity=not args.no_identity,
-                        bf16_memory=args.bf16_memory, project_values=args.project_values,
+                        memory=args.memory, project_values=args.project_values,
                         beam_impl=args.beam_impl, bf16_encoder=args.bf16_encoder,
                         pack_u8=args.pack_u8, trace_dir=args.trace,
                         transport=args.transport)

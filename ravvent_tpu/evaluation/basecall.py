@@ -78,6 +78,9 @@ class BasecallEngine:
         self.cfg = cfg
         self.chunk_size = chunk_size
         self.total_steps = total_steps
+        if isinstance(memory_dtype, str) and memory_dtype == "i8":
+            # int8 memory is only understood by the fused per-step kernel
+            assert beam_impl == "step", "memory_dtype='i8' requires beam_impl='step'"
         self.memory_dtype = memory_dtype
         if use_fused_beam and beam_impl == "xla":
             beam_impl = "loop"

@@ -41,10 +41,21 @@ class AttnMemory(NamedTuple):
     # — associativity-equivalent to Dense([query; context]) but reading
     # units (128) instead of memory_dim (256) floats per position per step.
     watt_h: Optional[jnp.ndarray] = None
+    # int8-quantized memory (dtype="i8"): keys/values hold int8 codes and
+    # kscale/vscale the per-(row, position) dequantization scales, i.e.
+    # keys_f32[b, s, :] == keys[b, s, :] * kscale[b, s]. Halves the decode
+    # loop's HBM traffic again vs bf16; consumers fold the scale into the
+    # score / alignment vectors (exactly equivalent to dequantizing K/V).
+    kscale: Optional[jnp.ndarray] = None  # [B, S] f32
+    vscale: Optional[jnp.ndarray] = None  # [B, S] f32
 
     @property
     def projected(self) -> bool:
         return self.watt_h is not None
+
+    @property
+    def quantized(self) -> bool:
+        return self.kscale is not None
 
 
 def init_attention(
@@ -79,7 +90,12 @@ def setup_memory(
     Passing the AttentionWrapper ``attention_layer`` params additionally
     pre-projects the values through the context half of that layer (see
     AttnMemory.projected) — mathematically the same attention vector with a
-    third less per-step memory traffic."""
+    third less per-step memory traffic.
+
+    ``dtype="i8"`` (string) quantizes keys/values to int8 with per-(row,
+    position) max-abs scales (see AttnMemory.kscale) — half the bf16 bytes;
+    requires a consumer that understands quantized memory (the fused
+    per-step beam kernel)."""
     values = jnp.where(mask[..., None], memory, 0.0)
     keys = values @ params["memory_kernel"]
     watt_h = None
@@ -88,6 +104,17 @@ def setup_memory(
         kernel = attention_layer["kernel"]  # [U + E, U]
         watt_h = kernel[:U]
         values = values @ kernel[U:]
+    if isinstance(dtype, str) and dtype == "i8":
+        def quant(x):
+            scale = jnp.maximum(jnp.abs(x).max(axis=-1), 1e-12) / 127.0
+            q = jnp.clip(
+                jnp.round(x / scale[..., None]), -127, 127
+            ).astype(jnp.int8)
+            return q, scale.astype(jnp.float32)
+        keys_q, kscale = quant(keys)
+        values_q, vscale = quant(values)
+        return AttnMemory(keys=keys_q, values=values_q, mask=mask,
+                          watt_h=watt_h, kscale=kscale, vscale=vscale)
     if dtype is not None:
         keys = keys.astype(dtype)
         values = values.astype(dtype)
@@ -98,6 +125,9 @@ def attention_scores(
     params: Params, attention_type: str, query: jnp.ndarray, mem: AttnMemory
 ) -> jnp.ndarray:
     """Raw scores [B, S] for query [B, q_dim]."""
+    assert not mem.quantized, (
+        "int8-quantized memory is only consumed by the fused per-step beam "
+        "kernel (beam_step_decode)")
     if attention_type == "luong":
         return jnp.einsum(
             "bu,bsu->bs", query.astype(mem.keys.dtype), mem.keys,

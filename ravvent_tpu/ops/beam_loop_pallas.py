@@ -294,6 +294,7 @@ def beam_loop_decode(
     """Whole-loop fused beam search. Requires pre-projected memory
     (``setup_memory(..., attention_layer=...)``), depth-1 LSTM, Luong."""
     assert mem.projected, "beam_loop_decode requires pre-projected memory"
+    assert not mem.quantized, "int8 memory: use beam_step_decode"
     B, S = mem.mask.shape
     assert B % b_tile == 0 and S % 8 == 0
     if max_steps is None:
@@ -333,7 +334,8 @@ def _beam_step_kernel(
     emb_ref,   # [bt*W, IN_P] one-hot token in first `vocab` cols
     h_ref, c_ref, att_ref,  # [bt*W, U]
     cum_ref, fin_ref,       # [bt, LANES] (first W lanes live)
-    keys_ref, values_ref,   # [bt, S, U] (values pre-projected)
+    keys_ref, values_ref,   # [bt, S, U] (values pre-projected; int8 if QUANT)
+    kscale_ref, vscale_ref,  # [bt, S] f32 dequant scales (ones if not QUANT)
     mask_ref,               # [bt, S] float 1/0
     wx_ref, wh_ref, b_ref, watth_ref, wfc_ref, bfc_ref,
     h_out, c_out, att_out, emb_out,  # [bt*W, ...]
@@ -343,6 +345,7 @@ def _beam_step_kernel(
     W: int,
     vocab: int,
     end_token: int,
+    quant: bool,
 ):
     BT, S, U = keys_ref.shape
     VP = wfc_ref.shape[1]
@@ -367,17 +370,27 @@ def _beam_step_kernel(
     h_new = og * jnp.tanh(c_new)
 
     hw = h_new.reshape(BT, W, U)
+    # int8-quantized memory: the per-(row, position) scale factors commute
+    # with the contractions over U, so folding kscale into the scores and
+    # vscale into the alignment is exact dequantization at W- instead of
+    # U-sized elementwise cost.
+    kdt = jnp.bfloat16 if quant else keys_ref.dtype
     scores = jax.lax.dot_general(
-        hw.astype(keys_ref.dtype), keys_ref[:],
+        hw.astype(kdt), keys_ref[:].astype(kdt),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    if quant:
+        scores = scores * kscale_ref[:][:, None, :]
     scores = jnp.where(mask_ref[:][:, None, :] > 0.5, scores, NEG_INF)
     m = jnp.max(scores, axis=2, keepdims=True)
     e = jnp.exp(scores - m)
     align = e / jnp.sum(e, axis=2, keepdims=True)
+    if quant:
+        align = align * vscale_ref[:][:, None, :]
+    vdt = jnp.bfloat16 if quant else values_ref.dtype
     context = jax.lax.dot_general(
-        align.astype(values_ref.dtype), values_ref[:],
+        align.astype(vdt), values_ref[:].astype(vdt),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
@@ -448,12 +461,12 @@ def _beam_step_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("vocab", "total_steps", "beam_width", "b_tile",
-                     "start_token", "end_token", "interpret"),
+                     "start_token", "end_token", "interpret", "quant"),
 )
 def _beam_step_scan(
-    weights, watt_h, keys, values, maskf, max_steps,
+    weights, watt_h, keys, values, kscale, vscale, maskf, max_steps,
     vocab: int, total_steps: int, beam_width: int, b_tile: int,
-    start_token: int, end_token: int, interpret: bool,
+    start_token: int, end_token: int, interpret: bool, quant: bool,
 ):
     B, S, U = keys.shape
     W = beam_width
@@ -463,7 +476,7 @@ def _beam_step_scan(
     grid = (B // b_tile,)
 
     kernel = functools.partial(
-        _beam_step_kernel, W=W, vocab=vocab, end_token=end_token,
+        _beam_step_kernel, W=W, vocab=vocab, end_token=end_token, quant=quant,
     )
     bt = lambda *shape: pl.BlockSpec(shape, lambda ib: (ib,) + (0,) * (len(shape) - 1),
                                      memory_space=pltpu.VMEM)
@@ -478,7 +491,8 @@ def _beam_step_scan(
             bt(b_tile * W, IN_P),
             bt(b_tile * W, U), bt(b_tile * W, U), bt(b_tile * W, U),
             bt(b_tile, LANES), bt(b_tile, LANES),
-            bt(b_tile, S, U), bt(b_tile, S, U), bt(b_tile, S),
+            bt(b_tile, S, U), bt(b_tile, S, U),
+            bt(b_tile, S), bt(b_tile, S), bt(b_tile, S),
             full(IN_P, 4 * U), full(U, 4 * U), full(1, 4 * U),
             full(U, U), full(U, VP), full(1, VP),
         ],
@@ -527,7 +541,7 @@ def _beam_step_scan(
     def body(st):
         t, h, c, att, emb, cum, fin, toks, pars, scs = st
         nh, nc, natt, nemb, ncum, nfin, tok, par = step_call(
-            emb, h, c, att, cum, fin, keys, values, maskf,
+            emb, h, c, att, cum, fin, keys, values, kscale, vscale, maskf,
             weights.wx, weights.wh, weights.b, watt_h, weights.wfc, weights.bfc,
         )
         upd = lambda a, x: jax.lax.dynamic_update_slice(
@@ -571,12 +585,21 @@ def beam_step_decode(
 
     w = pack_decoder_weights(dec_params, vocab_size)
     watt_h = jnp.asarray(mem.watt_h, jnp.float32)
+    quant = mem.quantized
+    if quant:
+        kscale, vscale = mem.kscale, mem.vscale
+    else:
+        # unused by the kernel (quant=False skips the multiplies) but the
+        # block pipeline still wants well-shaped refs; ~1% extra traffic
+        kscale = jnp.ones(mem.mask.shape, jnp.float32)
+        vscale = kscale
 
     tokens, parents, scores = _beam_step_scan(
-        w, watt_h, mem.keys, mem.values, mem.mask.astype(jnp.float32),
+        w, watt_h, mem.keys, mem.values, kscale, vscale,
+        mem.mask.astype(jnp.float32),
         jnp.asarray(max_steps, jnp.int32),
         vocab_size, total_steps, beam_width, b_tile,
-        start_token, end_token, interpret,
+        start_token, end_token, interpret, quant,
     )
     eff_T = jnp.minimum(jnp.asarray(max_steps, jnp.int32), total_steps)
     lengths = _reconstruct_lengths(tokens, parents, end_token)

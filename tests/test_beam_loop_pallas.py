@@ -44,3 +44,40 @@ def test_beam_loop_matches_xla(max_steps):
             np.asarray(fused.scores[:, :max_steps]),
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_beam_step_i8_memory_close_to_f32():
+    """int8-quantized memory (per-position scales) in the per-step kernel:
+    same beams on nearly every row, scores close — quantization noise is
+    ~0.4% of the max |key|/|value| per position."""
+    cfg = ModelConfig(
+        enc_units=128, dec_units=128, encoder_depth=1, decoder_depth=1, data_type="raw"
+    )
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    B = 8
+    raw = jax.random.normal(jax.random.PRNGKey(1), (B, 40, 1))
+    enc_out, mask = encode_input(params, raw, jnp.zeros((B, 6, 5)), cfg)
+    S = enc_out.shape[1]
+    S_p = ((S + 7) // 8) * 8
+    enc_out = jnp.pad(enc_out, ((0, 0), (0, S_p - S), (0, 0)))
+    mask = jnp.pad(mask, ((0, 0), (0, S_p - S)))
+    mem_f32 = attn.setup_memory(
+        params["decoder"]["attention"], enc_out, mask,
+        attention_layer=params["decoder"]["attention_layer"],
+    )
+    mem_i8 = attn.setup_memory(
+        params["decoder"]["attention"], enc_out, mask, "i8",
+        attention_layer=params["decoder"]["attention_layer"],
+    )
+    assert mem_i8.quantized and mem_i8.keys.dtype == jnp.int8
+
+    ref = beam_step_decode(
+        params["decoder"], mem_f32, 7, 5, 12, 12, b_tile=8, interpret=True
+    )
+    q = beam_step_decode(
+        params["decoder"], mem_i8, 7, 5, 12, 12, b_tile=8, interpret=True
+    )
+    # top-beam tokens agree on most rows (ties can flip under quantization)
+    agree = (np.asarray(ref.tokens[:, :, 0]) == np.asarray(q.tokens[:, :, 0]))
+    assert agree.all(axis=1).mean() >= 0.75
+    assert np.abs(np.asarray(ref.scores[:, :, 0]) - np.asarray(q.scores[:, :, 0])).max() < 0.5
