@@ -419,31 +419,58 @@ long local_align_core(const char* s1, long n, const char* s2, long m,
     return submat[idx(a) * 4 + idx(b)];
   };
   const long W = m + 1;
-  std::vector<double> H((n + 1) * W, 0.0), E((n + 1) * W, kNeg), F((n + 1) * W, kNeg);
-  std::vector<int8_t> TB((n + 1) * W, 0), TE((n + 1) * W, 0), TF((n + 1) * W, 0);
+  // This runs once per snippet in the merge fold (~3k calls per read), so
+  // per-call heap churn dominates the 25x25 DP itself: score rows roll
+  // (only H/F of the previous row are ever read back; E is a running
+  // register), and the traceback matrices live in thread-local scratch
+  // with only their row-0/col-0 boundaries cleared.
+  static thread_local std::vector<int8_t> tb_buf, te_buf, tf_buf;
+  static thread_local std::vector<double> row_buf;
+  const size_t cells = (size_t)(n + 1) * W;
+  if (tb_buf.size() < cells) {
+    tb_buf.resize(cells); te_buf.resize(cells); tf_buf.resize(cells);
+  }
+  if (row_buf.size() < (size_t)(4 * W)) row_buf.resize(4 * W);
+  int8_t* TB = tb_buf.data();
+  int8_t* TE = te_buf.data();
+  int8_t* TF = tf_buf.data();
+  double* Hprev = row_buf.data();
+  double* Hcur = Hprev + W;
+  double* Fprev = Hcur + W;
+  double* Fcur = Fprev + W;
+  for (long j = 0; j < W; ++j) { Hprev[j] = 0.0; Fprev[j] = kNeg; }
+  std::memset(TB, 0, W);  // row 0: traceback stops
+  std::memset(TE, 0, W);
+  std::memset(TF, 0, W);
   double best_score = 0.0;
   long bi = 0, bj = 0;
   for (long i = 1; i <= n; ++i) {
     double e = kNeg;
+    Hcur[0] = 0.0;
+    Fcur[0] = kNeg;
+    TB[i * W] = TE[i * W] = TF[i * W] = 0;  // col 0 boundary
     for (long j = 1; j <= m; ++j) {
       const long c = i * W + j;
-      double f_open = H[(i - 1) * W + j] + gap_open;
-      double f_ext = F[(i - 1) * W + j] + gap_extend;
-      if (f_ext > f_open) { F[c] = f_ext; TF[c] = 1; } else { F[c] = f_open; TF[c] = 0; }
-      double e_open = H[c - 1] + gap_open;
+      double f_open = Hprev[j] + gap_open;
+      double f_ext = Fprev[j] + gap_extend;
+      double f;
+      if (f_ext > f_open) { f = f_ext; TF[c] = 1; } else { f = f_open; TF[c] = 0; }
+      Fcur[j] = f;
+      double e_open = Hcur[j - 1] + gap_open;
       double e_ext = e + gap_extend;
       if (e_ext > e_open) { e = e_ext; TE[c] = 1; } else { e = e_open; TE[c] = 0; }
-      E[c] = e;
       double bestv = 0.0;
       int8_t tb = 0;
-      double d = H[(i - 1) * W + (j - 1)] + sub(s1[i - 1], s2[j - 1]);
+      double d = Hprev[j - 1] + sub(s1[i - 1], s2[j - 1]);
       if (d > bestv) { bestv = d; tb = 1; }
-      if (F[c] > bestv) { bestv = F[c]; tb = 2; }
+      if (f > bestv) { bestv = f; tb = 2; }
       if (e > bestv) { bestv = e; tb = 3; }
-      H[c] = bestv;
+      Hcur[j] = bestv;
       TB[c] = tb;
       if (bestv > best_score) { best_score = bestv; bi = i; bj = j; }
     }
+    std::swap(Hprev, Hcur);
+    std::swap(Fprev, Fcur);
   }
   if (best_score <= 0.0) return 0;
   std::vector<char> c1, c2;

@@ -569,16 +569,28 @@ def beam_step_decode(
     beam_width: int,
     total_steps: int,
     max_steps=None,
-    b_tile: int = 32,
+    b_tile: int | None = None,
     start_token: int = 2,
     end_token: int = 1,
     interpret: bool = False,
 ) -> BeamResult:
     """Per-step fused beam search (scan outside, fused kernel per step).
     Same semantics/requirements as :func:`beam_loop_decode`; preferred at
-    large batch where memory residency would over-serialize."""
+    large batch where memory residency would over-serialize.
+
+    ``b_tile=None`` picks the largest batch tile whose double-buffered
+    keys/values blocks fit the scoped-VMEM stack (measured ~1ms/slab faster
+    at 64 than 32 for the flagship shape; 128 exceeds VMEM)."""
     assert mem.projected, "beam_step_decode requires pre-projected memory"
     B, S = mem.mask.shape
+    if b_tile is None:
+        U = mem.keys.shape[-1]
+        isz = mem.keys.dtype.itemsize
+        b_tile = 8
+        for bt in (64, 32, 16):
+            if B % bt == 0 and 2 * 2 * bt * S * U * isz <= 14 * 1024 * 1024:
+                b_tile = bt
+                break
     assert B % b_tile == 0 and S % 8 == 0
     if max_steps is None:
         max_steps = total_steps
