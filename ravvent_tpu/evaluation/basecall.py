@@ -70,7 +70,10 @@ class BasecallEngine:
         pore-noise floor, for half the host->device bytes; "i8" quantizes
         with per-slab (signal) / per-feature (event) dynamic scales carried
         in a small header — a ~0.4% quantization step, another 2x fewer
-        bytes; "f32" is bit-exact with the materialized path."""
+        bytes; "i8sig" quantizes only the signal and keeps event features in
+        f16 (the all-i8 event quantization costs ~0.7pt identity, the signal
+        quantization is far below pore noise); "f32" is bit-exact with the
+        materialized path."""
         # Commit the weights to the device once. Checkpoint restores hand
         # back numpy arrays; leaving them host-side makes EVERY dispatch
         # re-upload the full tree (~5MB, >100ms over a remote-attached link).
@@ -94,7 +97,7 @@ class BasecallEngine:
         self.project_values = project_values
         self.encoder_dtype = encoder_dtype
         self.pack_u8 = pack_u8
-        assert transport_dtype in ("f16", "f32", "i8")
+        assert transport_dtype in ("f16", "f32", "i8", "i8sig")
         self.transport_dtype = transport_dtype
 
         mcfg = cfg
@@ -196,21 +199,40 @@ class BasecallEngine:
 
         self._beam_compact_jit = jax.jit(_beam_compact, static_argnames=("beam_width",))
 
-        def _beam_compact_packed(params, buf, S_b, E_b, max_steps, beam_width):
+        def _beam_compact_packed(params, buf, S_b, E_b, beam_width):
             # Single-upload variant: signal/events/ranges arrive as ONE u8
             # buffer (host packs byte views back-to-back). On a remote-attached
             # device every host->device message pays fixed link latency
             # (~30-50ms here) plus ~10-20MB/s of bandwidth, so one small
-            # upload instead of four larger ones is a direct win. Signal and
-            # event features travel in transport_dtype (f16 by default — see
-            # __init__); the unpack below is a few bitcasts in the same
-            # program.
-            off = 0
-            if self.transport_dtype == "i8":
-                # 32B header: f32 scales (signal, 5 event features, 2 spare)
+            # upload instead of four larger ones is a direct win — even the
+            # max_steps scalar rides in the 32B header rather than as its own
+            # argument (a 4-byte transfer still pays the full message
+            # latency). Signal and event features travel in transport_dtype
+            # (f16 by default — see __init__); the unpack below is a few
+            # bitcasts in the same program.
+            # Header layout (f32[8]): [0] signal scale, [1:6] event feature
+            # scales (i8 wire mode only), [6] max_steps (i32 bitcast).
+            max_steps = jax.lax.bitcast_convert_type(
+                buf[24:28].reshape(1, 4), jnp.int32)[0]
+            off = 32
+            if self.transport_dtype == "i8sig":
+                # signal i8 (quantization step ~0.8% of its dynamic range,
+                # far below pore noise), event features f16 (the accuracy-
+                # sensitive half: all-i8 wire cost ~0.7pt identity)
                 scales = jax.lax.bitcast_convert_type(
                     buf[:32].reshape(8, 4), jnp.float32)
-                off = 32
+                sig = (
+                    jax.lax.bitcast_convert_type(buf[off : off + S_b], jnp.int8)
+                    .astype(jnp.float32) * scales[0]
+                )
+                off += S_b
+                events = jax.lax.bitcast_convert_type(
+                    buf[off : off + E_b * 5 * 2].reshape(E_b, 5, 2), jnp.float16
+                ).astype(jnp.float32)
+                off += E_b * 5 * 2
+            elif self.transport_dtype == "i8":
+                scales = jax.lax.bitcast_convert_type(
+                    buf[:32].reshape(8, 4), jnp.float32)
                 sig = (
                     jax.lax.bitcast_convert_type(buf[off : off + S_b], jnp.int8)
                     .astype(jnp.float32) * scales[0]
@@ -239,12 +261,29 @@ class BasecallEngine:
                 rest[: slab * 8].reshape(slab, 2, 4), jnp.int32)
             er = jax.lax.bitcast_convert_type(
                 rest[slab * 8 :].reshape(slab, 2, 4), jnp.int32)
-            return _beam_compact(params, sig, rr, events, er, max_steps, beam_width)
+            # Call through the inner jit (not the plain function): tracing
+            # through _beam_compact inline lets XLA demote the unpacked
+            # operands to host memory (S(1)) with async slice round-trips —
+            # a ~30x slower program (93ms vs 3ms measured for the flagship
+            # slab). The nested-jit call boundary keeps everything in HBM.
+            return self._beam_compact_jit(
+                params, sig, rr, events, er, max_steps, beam_width)
 
         self._beam_compact_packed_jit = jax.jit(
             _beam_compact_packed, static_argnames=("S_b", "E_b", "beam_width"))
 
     # ------------------------------------------------------------------
+    def _ms_scalar(self, v: int):
+        """Device-resident max_steps scalar, cached per value: even a 4-byte
+        transfer pays the full fixed message latency (~30-45ms here), and
+        max_output_len repeats across chunks/reads."""
+        cache = getattr(self, "_ms_cache", None)
+        if cache is None:
+            cache = self._ms_cache = {}
+        if v not in cache:
+            cache[v] = jnp.int32(v)
+        return cache[v]
+
     @staticmethod
     def _bucket(n: int, base: int) -> int:
         return max(base, ((n + base - 1) // base) * base)
@@ -310,17 +349,32 @@ class BasecallEngine:
             # latency dominates small-transfer cost in this environment);
             # signal/events travel f16 by default — half the bytes over the
             # slow link (see __init__ transport_dtype).
-            if self.transport_dtype == "i8":
+            hdr = np.zeros(8, np.float32)
+            hdr[6:7].view(np.int32)[0] = max_output_len - 1
+            if self.transport_dtype == "i8sig":
+                sl = signal[lo_s:hi_s]
+                s_scale = max(float(np.abs(sl).max()) if span_s else 0.0, 1e-12) / 127.0
+                hdr[0] = s_scale
+                buf = np.zeros(32 + S_b + E_b * 5 * 2 + slab * 16, np.uint8)
+                buf[:32] = hdr.view(np.uint8)
+                off = 32
+                buf[off : off + span_s] = np.clip(
+                    np.round(sl / s_scale), -127, 127
+                ).astype(np.int8).view(np.uint8)
+                off += S_b
+                buf[off : off + span_e * 5 * 2] = (
+                    events[lo_e:hi_e].astype(np.float16).view(np.uint8).reshape(-1))
+                off += E_b * 5 * 2
+            elif self.transport_dtype == "i8":
                 sl = signal[lo_s:hi_s]
                 el = events[lo_e:hi_e]
                 s_scale = max(float(np.abs(sl).max()) if span_s else 0.0, 1e-12) / 127.0
                 e_scale = np.maximum(
                     np.abs(el).max(axis=0) if span_e else np.zeros(5), 1e-12
                 ) / 127.0
-                buf = np.zeros(32 + S_b + E_b * 5 + slab * 16, np.uint8)
-                hdr = np.zeros(8, np.float32)
                 hdr[0] = s_scale
                 hdr[1:6] = e_scale
+                buf = np.zeros(32 + S_b + E_b * 5 + slab * 16, np.uint8)
                 buf[:32] = hdr.view(np.uint8)
                 off = 32
                 buf[off : off + span_s] = np.clip(
@@ -334,8 +388,9 @@ class BasecallEngine:
             else:
                 it = 2 if self.transport_dtype == "f16" else 4
                 wire = np.float16 if self.transport_dtype == "f16" else np.float32
-                buf = np.zeros((S_b + E_b * 5) * it + slab * 16, np.uint8)
-                off = 0
+                buf = np.zeros(32 + (S_b + E_b * 5) * it + slab * 16, np.uint8)
+                buf[:32] = hdr.view(np.uint8)
+                off = 32
                 buf[off : off + span_s * it] = (
                     signal[lo_s:hi_s].astype(wire).view(np.uint8))
                 off += S_b * it
@@ -349,8 +404,7 @@ class BasecallEngine:
             buf[off : off + slab * 8] = rr_l.view(np.uint8).reshape(-1)
             buf[off + slab * 8 :] = er_l.view(np.uint8).reshape(-1)
             packed = self._beam_compact_packed_jit(
-                self.params, jnp.asarray(buf), S_b, E_b,
-                jnp.int32(max_output_len - 1), beam_width,
+                self.params, jnp.asarray(buf), S_b, E_b, beam_width,
             )
             # fetch the full slab and drop pad rows on host: the extra pad
             # bytes are cheaper than another device dispatch for the slice
@@ -397,7 +451,7 @@ class BasecallEngine:
             ec, _ = self._pad_chunk(event[s : s + self.chunk_size])
             toks, probs = self._beam_jit(
                 self.params, jnp.asarray(rc), jnp.asarray(ec),
-                jnp.int32(max_output_len - 1), beam_width,
+                self._ms_scalar(max_output_len - 1), beam_width,
             )
             pending.append((toks, probs, n))
         toks_out = [np.asarray(t[:n]) for t, _, n in pending]
@@ -413,7 +467,7 @@ class BasecallEngine:
             ec, _ = self._pad_chunk(event[s : s + self.chunk_size])
             toks, logits = self._greedy_jit(
                 self.params, jnp.asarray(rc), jnp.asarray(ec),
-                jnp.int32(max_output_len - 1),
+                self._ms_scalar(max_output_len - 1),
             )
             pending.append((toks, logits, n))
         toks_out = [np.asarray(t[:n]) for t, _, n in pending]

@@ -53,6 +53,15 @@ def test_compact_matches_materialized(tmp_path):
     t3, _ = eng16.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
     assert (t3 == t2).all(axis=1).mean() > 0.9
 
+    # i8sig transport: signal quantized to i8 (step ~0.8% of range, below
+    # pore noise), event features still f16. Untrained random weights
+    # amplify quantization chaotically, so assert per-token (not whole-row)
+    # agreement; the trained-model identity cost is measured in the bench.
+    eng8 = BasecallEngine(params, cfg, chunk_size=64, transport_dtype="i8sig")
+    t4, _ = eng8.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    assert (t4 == t2).mean() > 0.9
+    assert (t4 == t2).all(axis=1).mean() > 0.6
+
 
 def test_pack_u8_fetch_matches_baseline(tmp_path):
     """pack_u8=True (nibble tokens + u8-quantized probs) returns identical
