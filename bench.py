@@ -199,9 +199,10 @@ def main():
     ap.add_argument("--pack-u8", action=argparse.BooleanOptionalAction, default=True,
                     help="nibble-pack tokens + u8-quantize step probs (2x less download)")
     ap.add_argument("--transport", default="f16",
-                    choices=["f16", "f32", "i8", "i8sig"],
+                    choices=["f16", "f32", "i8", "i8sig", "i8dev"],
                     help="wire format of compact-path inputs (i8sig: signal "
-                         "i8 + events f16)")
+                         "i8 + events f16; i8dev: signal i8 + u16 event "
+                         "lengths, features recomputed on device)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the perf run to DIR")
     args = ap.parse_args()

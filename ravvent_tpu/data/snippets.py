@@ -157,6 +157,18 @@ def pad_input_snippets(
     return out
 
 
+def _EMPTY_AUX() -> dict:
+    return {
+        "ev_lens": np.zeros(0, np.int64),
+        "ev_starts": np.zeros(0, np.int64),
+        "scaler_mean": np.zeros(5, np.float32),
+        "scaler_std": np.ones(5, np.float32),
+        "raw_mean": np.float32(0.0),
+        "raw_std": np.float32(1.0),
+        "contiguous": False,
+    }
+
+
 def prepare_compact(
     raw: np.ndarray,
     nuc_raw_ranges: np.ndarray,
@@ -170,13 +182,14 @@ def prepare_compact(
     host->device traffic by the overlap factor (~4x at stride 6).
 
     Returns (signal_sc [S] f32, raw_ranges [N,2] i64, events_sc [E,5] f32,
-    events_ranges [N,2] i64, nuc_sym_snippets list[str]).
+    events_ranges [N,2] i64, nuc_sym_snippets list[str], aux dict).
     Semantics identical to :func:`prepare_snippets`.
     """
     ev = detect_events(raw, ED_WINDOW_LENGTH_1, ED_WINDOW_LENGTH_2)
     if ev.shape[0] == 0:
         return (np.zeros(0, np.float32), np.zeros((0, 2), np.int64),
-                np.zeros((0, 5), np.float32), np.zeros((0, 2), np.int64), [])
+                np.zeros((0, 5), np.float32), np.zeros((0, 2), np.int64), [],
+                _EMPTY_AUX())
     starts, lengths, means, stdvs = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
     dmean = np.concatenate(([0.0], np.diff(means)))
     events = np.column_stack((starts, starts + lengths, lengths, means, stdvs, means**2, dmean))
@@ -187,7 +200,8 @@ def prepare_compact(
     events = events[keep, :]
     if events.shape[0] == 0:
         return (np.zeros(0, np.float32), np.zeros((0, 2), np.int64),
-                np.zeros((0, 5), np.float32), np.zeros((0, 2), np.int64), [])
+                np.zeros((0, 5), np.float32), np.zeros((0, 2), np.int64), [],
+                _EMPTY_AUX())
     events[0, 2] += events[0, 0] - nuc_raw_ranges[0, 0]
     events[0, 0] = nuc_raw_ranges[0, 0]
     events[-1, 2] = nuc_raw_ranges[-1, 1] - events[-1, 0]
@@ -198,7 +212,8 @@ def prepare_compact(
     events_ranges = compute_fitting_event_ranges(events[:, 2], stride, raw_max_len=MAX_RAW_LEN)
     if events_ranges.shape[0] == 0:
         return (np.zeros(0, np.float32), np.zeros((0, 2), np.int64),
-                np.zeros((0, 5), np.float32), np.zeros((0, 2), np.int64), [])
+                np.zeros((0, 5), np.float32), np.zeros((0, 2), np.int64), [],
+                _EMPTY_AUX())
     raw_ranges = convert_events_ranges_to_raw_ranges(events_ranges, events)
     events_sc = ((events[:, 2:] - ev_mean) / ev_std).astype(np.float32)
 
@@ -207,7 +222,26 @@ def prepare_compact(
     for s, e in raw_ranges:
         ids = np.unique(nuc_id_seq[s:e])
         nuc_sym_snippets.append("$" + "".join(nuc_reference_symbols[ids]) + "^")
-    return raw_sc, raw_ranges, events_sc, events_ranges, nuc_sym_snippets
+
+    # Aux for on-device event-feature reconstruction ("i8dev" wire format,
+    # ravvent_tpu.evaluation.basecall): with the (patched) event lengths,
+    # the raw z-score affine and the (pre-clip-fit) scaler stats, the device
+    # can recompute the 5 scaled features from the uploaded signal — only
+    # 2 bytes/event travel instead of 10. Events tile the labeled region
+    # contiguously ("contiguous" asserts it; if ever False the engine falls
+    # back to shipping features).
+    starts_i = events[:, 0].astype(np.int64)
+    lens_i = events[:, 2].astype(np.int64)
+    aux = {
+        "ev_lens": lens_i,
+        "ev_starts": starts_i,
+        "scaler_mean": ev_mean.astype(np.float32),
+        "scaler_std": ev_std.astype(np.float32),
+        "raw_mean": np.float32(rmean[0]),
+        "raw_std": np.float32(rstd[0]),
+        "contiguous": bool((starts_i[1:] == starts_i[:-1] + lens_i[:-1]).all()),
+    }
+    return raw_sc, raw_ranges, events_sc, events_ranges, nuc_sym_snippets, aux
 
 
 def load_read_compact(
@@ -219,28 +253,57 @@ def load_read_compact(
 ):
     """Compact-representation loader with optional caching; returns
     (signal_sc, raw_ranges, events_sc, events_ranges, nuc_tok)."""
+    out = load_read_compact_ex(
+        signal_path, label_path, stride, max_target_len, cache_dir
+    )
+    return out[:5]
+
+
+def load_read_compact_ex(
+    signal_path,
+    label_path,
+    stride: int,
+    max_target_len: int | None = MAX_TARGET_LEN,
+    cache_dir: str | None = None,
+):
+    """:func:`load_read_compact` plus the aux dict needed for on-device
+    event-feature reconstruction (the "i8dev" wire format): returns
+    (signal_sc, raw_ranges, events_sc, events_ranges, nuc_tok, aux)."""
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
         key = hashlib.sha1(
-            f"compact|{Path(signal_path).resolve()}|{stride}|{max_target_len}".encode()
+            f"compact2|{Path(signal_path).resolve()}|{stride}|{max_target_len}".encode()
         ).hexdigest()[:16]
         cache_path = Path(cache_dir) / f"{Path(signal_path).stem}.{key}.npz"
         if cache_path.exists():
             z = np.load(cache_path)
-            return z["sig"], z["rr"], z["ev"], z["er"], z["nuc"]
+            aux = {
+                "ev_lens": z["ev_lens"], "ev_starts": z["ev_starts"],
+                "scaler_mean": z["scaler_mean"], "scaler_std": z["scaler_std"],
+                "raw_mean": np.float32(z["raw_affine"][0]),
+                "raw_std": np.float32(z["raw_affine"][1]),
+                "contiguous": bool(z["contiguous"]),
+            }
+            return z["sig"], z["rr"], z["ev"], z["er"], z["nuc"], aux
 
     raw = chiron.load_signal(signal_path)
     nuc_raw_ranges, nuc_reference_symbols = chiron.load_label(label_path)
-    sig, rr, ev, er, nuc_syms = prepare_compact(
+    sig, rr, ev, er, nuc_syms, aux = prepare_compact(
         raw, nuc_raw_ranges, nuc_reference_symbols, stride
     )
     nuc_tok = NUC_TOKENIZER.pad_sequences(
         NUC_TOKENIZER.texts_to_sequences(nuc_syms), maxlen=max_target_len
     )
     if cache_path is not None:
-        np.savez_compressed(cache_path, sig=sig, rr=rr, ev=ev, er=er, nuc=nuc_tok)
-    return sig, rr, ev, er, nuc_tok
+        np.savez_compressed(
+            cache_path, sig=sig, rr=rr, ev=ev, er=er, nuc=nuc_tok,
+            ev_lens=aux["ev_lens"], ev_starts=aux["ev_starts"],
+            scaler_mean=aux["scaler_mean"], scaler_std=aux["scaler_std"],
+            raw_affine=np.array([aux["raw_mean"], aux["raw_std"]], np.float32),
+            contiguous=np.bool_(aux["contiguous"]),
+        )
+    return sig, rr, ev, er, nuc_tok, aux
 
 
 def load_read_snippets(

@@ -29,6 +29,57 @@ from ravvent_tpu.models.basecaller import encode_input
 from ravvent_tpu.tokenizer import NUC_TOKENIZER
 
 
+def _device_event_features(sig, lens, n_ev, hdr1, ovr):
+    """Recompute the 5 scaled event features from the uploaded z-scored
+    signal, given (patched) event lengths — the "i8dev" wire format.
+
+    Events tile the slab's signal window contiguously starting at local
+    coordinate 0 (a snippet's raw range starts at its first event's start —
+    reference: data_loader.py:48-51), so starts are an exclusive cumsum of
+    lengths. Mean/stdv over a segment of the z-scored signal map back to raw
+    units through the affine (raw_mean, raw_std): mean_raw = rm + rs*mean_z,
+    var_raw = rs^2*var_z (shift-invariant) — matching the event detector's
+    running-sum features (reference: event_detection/event_detector.py:189-210,
+    stdv = sqrt(max(sumsq/len - mean^2, FLT_MIN))).
+
+    ``hdr1``: [0:5] scaler mean, [5:10] scaler std (pre-clip fit — quirk #5),
+    [10] raw_mean, [11] raw_std, [12] true (unpatched) raw-unit mean of the
+    slab's first event, used for row 1's delta-mean chain. ``ovr``: exact
+    host-scaled features for rows 0 and n_ev-1 (their host features were
+    computed on unpatched spans, so the recomputation would differ).
+    """
+    E = lens.shape[0]
+    S = sig.shape[0]
+    valid = jnp.arange(E) < n_ev
+    lens_v = jnp.where(valid, lens, 0)
+    lens_safe = jnp.maximum(lens_v, 1)
+    cum = jnp.cumsum(lens_v)
+    starts = cum - lens_v
+    ends = cum
+    cs = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sig)])
+    cq = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sig * sig)])
+    s_idx = jnp.clip(starts, 0, S)
+    e_idx = jnp.clip(ends, 0, S)
+    ssum = cs[e_idx] - cs[s_idx]
+    sqsum = cq[e_idx] - cq[s_idx]
+    mean_z = ssum / lens_safe
+    var_z = sqsum / lens_safe - mean_z * mean_z
+    rm, rs = hdr1[10], hdr1[11]
+    mean = rm + rs * mean_z
+    # FLT_MIN clamp in raw units, matching the host formula exactly
+    stdv = jnp.sqrt(jnp.maximum(rs * rs * var_z, 1.1754944e-38))
+    rows = jnp.arange(E)
+    chain_mean = jnp.where(rows == 0, hdr1[12], mean)
+    dmean = mean - jnp.concatenate([chain_mean[:1], chain_mean[:-1]])
+    feats = jnp.stack(
+        [lens_v.astype(jnp.float32), mean, stdv, mean * mean, dmean], axis=1
+    )
+    feats = (feats - hdr1[0:5][None, :]) / hdr1[5:10][None, :]
+    feats = jnp.where(rows[:, None] == 0, ovr[0][None, :], feats)
+    feats = jnp.where(rows[:, None] == n_ev - 1, ovr[1][None, :], feats)
+    return feats
+
+
 class BasecallEngine:
     def __init__(
         self,
@@ -97,7 +148,7 @@ class BasecallEngine:
         self.project_values = project_values
         self.encoder_dtype = encoder_dtype
         self.pack_u8 = pack_u8
-        assert transport_dtype in ("f16", "f32", "i8", "i8sig")
+        assert transport_dtype in ("f16", "f32", "i8", "i8sig", "i8dev")
         self.transport_dtype = transport_dtype
 
         mcfg = cfg
@@ -157,7 +208,7 @@ class BasecallEngine:
         self._greedy_jit = jax.jit(_greedy)
 
         def _beam_compact(params, signal, raw_ranges, events, event_ranges,
-                          max_steps, beam_width):
+                          max_steps, beam_width, T_out=None):
             # On-device snippet construction by gather: the heavily
             # overlapping snippet windows (~4x duplication at stride 6) are
             # materialized in HBM from the compact read representation,
@@ -175,6 +226,12 @@ class BasecallEngine:
                 e_valid[..., None], events[jnp.clip(e_pos, 0, E - 1)], 0.0
             )
             tokens, probs = _beam(params, raw, event, max_steps, beam_width)
+            if T_out is not None and T_out < tokens.shape[1]:
+                # max_output_len is host-known; everything past it is
+                # end-token fill — don't fetch it (T_out is bucketed to
+                # multiples of 8 to bound recompilation)
+                tokens = tokens[:, :T_out]
+                probs = probs[:, :T_out]
             # Pack tokens and probs into ONE uint8 buffer so the host fetches
             # a single array per slab: each device->host transfer pays ~30ms
             # of link latency in this environment, so one fetch per read
@@ -197,9 +254,10 @@ class BasecallEngine:
             ).reshape(tokens.shape[0], -1)
             return jnp.concatenate([tok_b, prob_b], axis=1)
 
-        self._beam_compact_jit = jax.jit(_beam_compact, static_argnames=("beam_width",))
+        self._beam_compact_jit = jax.jit(
+            _beam_compact, static_argnames=("beam_width", "T_out"))
 
-        def _beam_compact_packed(params, buf, S_b, E_b, beam_width):
+        def _beam_compact_packed(params, buf, S_b, E_b, beam_width, T_out):
             # Single-upload variant: signal/events/ranges arrive as ONE u8
             # buffer (host packs byte views back-to-back). On a remote-attached
             # device every host->device message pays fixed link latency
@@ -215,7 +273,38 @@ class BasecallEngine:
             max_steps = jax.lax.bitcast_convert_type(
                 buf[24:28].reshape(1, 4), jnp.int32)[0]
             off = 32
-            if self.transport_dtype == "i8sig":
+            if self.transport_dtype == "i8dev":
+                # On-device event-feature reconstruction: only the i8 signal
+                # and u16 event lengths travel the wire (2 bytes/event
+                # instead of 10); the 5 scaled features (length, mean, stdv,
+                # mean^2, delta-mean — reference: data_loader.py:74-76) are
+                # recomputed from segment cumsums of the uploaded signal.
+                # hdr1 carries the scaler stats + raw z-score affine; the
+                # slab's first/last events (whose boundary-patched spans
+                # differ from the spans their host features were computed
+                # on — reference quirk, data_loader.py:82-87) arrive as
+                # 10 f16 overrides.
+                n_ev = jax.lax.bitcast_convert_type(
+                    buf[28:32].reshape(1, 4), jnp.int32)[0]
+                scales = jax.lax.bitcast_convert_type(
+                    buf[:32].reshape(8, 4), jnp.float32)
+                hdr1 = jax.lax.bitcast_convert_type(
+                    buf[32:96].reshape(16, 4), jnp.float32)
+                ovr = jax.lax.bitcast_convert_type(
+                    buf[96:116].reshape(2, 5, 2), jnp.float16
+                ).astype(jnp.float32)
+                off = 128
+                sig = (
+                    jax.lax.bitcast_convert_type(buf[off : off + S_b], jnp.int8)
+                    .astype(jnp.float32) * scales[0]
+                )
+                off += S_b
+                lens = jax.lax.bitcast_convert_type(
+                    buf[off : off + E_b * 2].reshape(E_b, 2), jnp.uint16
+                ).astype(jnp.int32)
+                off += E_b * 2
+                events = _device_event_features(sig, lens, n_ev, hdr1, ovr)
+            elif self.transport_dtype == "i8sig":
                 # signal i8 (quantization step ~0.8% of its dynamic range,
                 # far below pore noise), event features f16 (the accuracy-
                 # sensitive half: all-i8 wire cost ~0.7pt identity)
@@ -267,10 +356,12 @@ class BasecallEngine:
             # a ~30x slower program (93ms vs 3ms measured for the flagship
             # slab). The nested-jit call boundary keeps everything in HBM.
             return self._beam_compact_jit(
-                params, sig, rr, events, er, max_steps, beam_width)
+                params, sig, rr, events, er, max_steps, beam_width,
+                T_out=T_out)
 
         self._beam_compact_packed_jit = jax.jit(
-            _beam_compact_packed, static_argnames=("S_b", "E_b", "beam_width"))
+            _beam_compact_packed,
+            static_argnames=("S_b", "E_b", "beam_width", "T_out"))
 
     # ------------------------------------------------------------------
     def _ms_scalar(self, v: int):
@@ -296,10 +387,17 @@ class BasecallEngine:
         event_ranges: np.ndarray,  # [N, 2]
         max_output_len: int,
         beam_width: int = 5,
+        aux: Optional[dict] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One-dispatch-per-read beam decode from the compact representation
         (see ravvent_tpu.data.snippets.prepare_compact). Shapes are padded to
-        buckets to bound recompilation."""
+        buckets to bound recompilation. The "i8dev" wire format needs ``aux``
+        from :func:`ravvent_tpu.data.snippets.load_read_compact_ex`."""
+        if self.transport_dtype == "i8dev":
+            assert aux is not None and aux.get("contiguous"), (
+                "transport_dtype='i8dev' requires the aux dict from "
+                "load_read_compact_ex (with contiguous events)"
+            )
         N = raw_ranges.shape[0]
         if N == 0:
             return np.zeros((0, self.total_steps), np.int64), np.zeros(
@@ -330,6 +428,10 @@ class BasecallEngine:
             slab = min((z for z in sizes if z >= rem), default=sizes[0])
             plan.append((s, slab))
             s += slab
+        # Decoded tokens beyond max_output_len are end-token fill — fetch a
+        # width bucketed to 8 (a handful of compiled programs) instead of the
+        # full static step count.
+        T_fetch = min(self.total_steps, ((max_output_len + 7) // 8) * 8)
         pending = []
         for s, slab in plan:
             # granularities chosen so the typical slab (~54 samples and ~6
@@ -341,6 +443,12 @@ class BasecallEngine:
             er = event_ranges[s : s + n].astype(np.int64)
             lo_s, hi_s = int(rr[0, 0]), int(rr[:, 1].max())
             lo_e, hi_e = int(er[0, 0]), int(er[:, 1].max())
+            if self.transport_dtype == "i8dev":
+                # feature recomputation needs samples through the LAST
+                # event's end (a snippet's raw range stops at its last
+                # event's start — quirk, data_loader.py:48-51)
+                ev_lens = aux["ev_lens"][lo_e:hi_e].astype(np.int64)
+                hi_s = max(hi_s, min(lo_s + int(ev_lens.sum()), signal.shape[0]))
             span_s = hi_s - lo_s
             span_e = hi_e - lo_e
             S_b = self._bucket(span_s, sig_bucket)
@@ -351,7 +459,35 @@ class BasecallEngine:
             # slow link (see __init__ transport_dtype).
             hdr = np.zeros(8, np.float32)
             hdr[6:7].view(np.int32)[0] = max_output_len - 1
-            if self.transport_dtype == "i8sig":
+            if self.transport_dtype == "i8dev":
+                sl = signal[lo_s:hi_s]
+                s_scale = max(float(np.abs(sl).max()) if span_s else 0.0, 1e-12) / 127.0
+                hdr[0] = s_scale
+                hdr[7:8].view(np.int32)[0] = span_e
+                hdr1 = np.zeros(16, np.float32)
+                hdr1[0:5] = aux["scaler_mean"]
+                hdr1[5:10] = aux["scaler_std"]
+                hdr1[10] = aux["raw_mean"]
+                hdr1[11] = aux["raw_std"]
+                # true (unpatched-span) raw-unit mean of the slab's first
+                # event, for row 1's delta-mean chain
+                hdr1[12] = (
+                    events[lo_e, 1] * aux["scaler_std"][1] + aux["scaler_mean"][1]
+                )
+                ovr = events[[lo_e, hi_e - 1]].astype(np.float16)
+                buf = np.zeros(128 + S_b + E_b * 2 + slab * 16, np.uint8)
+                buf[:32] = hdr.view(np.uint8)
+                buf[32:96] = hdr1.view(np.uint8)
+                buf[96:116] = ovr.view(np.uint8).reshape(-1)
+                off = 128
+                buf[off : off + span_s] = np.clip(
+                    np.round(sl / s_scale), -127, 127
+                ).astype(np.int8).view(np.uint8)
+                off += S_b
+                buf[off : off + span_e * 2] = (
+                    ev_lens.astype(np.uint16).view(np.uint8).reshape(-1))
+                off += E_b * 2
+            elif self.transport_dtype == "i8sig":
                 sl = signal[lo_s:hi_s]
                 s_scale = max(float(np.abs(sl).max()) if span_s else 0.0, 1e-12) / 127.0
                 hdr[0] = s_scale
@@ -405,11 +541,12 @@ class BasecallEngine:
             buf[off + slab * 8 :] = er_l.view(np.uint8).reshape(-1)
             packed = self._beam_compact_packed_jit(
                 self.params, jnp.asarray(buf), S_b, E_b, beam_width,
+                T_out=T_fetch,
             )
             # fetch the full slab and drop pad rows on host: the extra pad
             # bytes are cheaper than another device dispatch for the slice
             pending.append((packed, n))
-        T = self.total_steps
+        T = T_fetch
         toks, prbs = [], []
         for packed, n in pending:
             arr = np.asarray(packed)[:n]
@@ -454,8 +591,10 @@ class BasecallEngine:
                 self._ms_scalar(max_output_len - 1), beam_width,
             )
             pending.append((toks, probs, n))
-        toks_out = [np.asarray(t[:n]) for t, _, n in pending]
-        probs_out = [np.asarray(p[:n]) for _, p, n in pending]
+        # same trimmed width as the compact path (the tail is end-token fill)
+        T = min(self.total_steps, ((max_output_len + 7) // 8) * 8)
+        toks_out = [np.asarray(t[:n, :T]) for t, _, n in pending]
+        probs_out = [np.asarray(p[:n, :T]) for _, p, n in pending]
         return np.concatenate(toks_out), np.concatenate(probs_out)
 
     def predict_greedy(
@@ -470,8 +609,9 @@ class BasecallEngine:
                 self._ms_scalar(max_output_len - 1),
             )
             pending.append((toks, logits, n))
-        toks_out = [np.asarray(t[:n]) for t, _, n in pending]
-        logits_out = [np.asarray(p[:n]) for _, p, n in pending]
+        T = min(self.total_steps, ((max_output_len + 7) // 8) * 8)
+        toks_out = [np.asarray(t[:n, :T]) for t, _, n in pending]
+        logits_out = [np.asarray(p[:n, :T]) for _, p, n in pending]
         return np.concatenate(toks_out), np.concatenate(logits_out)
 
     @staticmethod

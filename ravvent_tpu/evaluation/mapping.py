@@ -32,7 +32,7 @@ from ravvent_tpu.assembly.alignment import banded_global_identity
 from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
 from ravvent_tpu.config import ModelConfig
 from ravvent_tpu.data import chiron
-from ravvent_tpu.data.snippets import load_read_compact
+from ravvent_tpu.data.snippets import load_read_compact_ex
 from ravvent_tpu.evaluation.basecall import BasecallEngine
 
 BEAM_WIDTH_DEFAULT = 5
@@ -67,7 +67,7 @@ class MappingEvaluator:
         (reference: ravvent_mapping_evaluator.py:31-57)."""
         if label_path is None:
             label_path = Path(signal_path).with_suffix(".label")
-        sig, rr, ev, er, nuc = load_read_compact(
+        sig, rr, ev, er, nuc, aux = load_read_compact_ex(
             signal_path, label_path, self.stride, cache_dir=self.cache_dir
         )
         if rr.shape[0] == 0:
@@ -75,7 +75,7 @@ class MappingEvaluator:
         # decode bound from ground-truth target width (reference quirk #4)
         max_output_len = int((nuc != 0).sum(axis=1).max())
         tokens, probs = self.engine.predict_beam_compact(
-            sig, rr, ev, er, max_output_len, self.beam_width
+            sig, rr, ev, er, max_output_len, self.beam_width, aux=aux
         )
         seqs = self.engine.tokens_to_sequences(tokens)
         probs = np.asarray(probs, dtype=np.float64)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ravvent_tpu.assembly.merger import Merger
 from ravvent_tpu.data import chiron
-from ravvent_tpu.data.snippets import load_read_compact
+from ravvent_tpu.data.snippets import load_read_compact_ex
 from ravvent_tpu.evaluation.basecall import BasecallEngine
 
 
@@ -48,7 +48,7 @@ class PerformanceEvaluator:
         samples_num = int(ranges[-1, 1] - ranges[0, 0])
 
         start = timer()
-        sig, rr, ev, er, nuc = load_read_compact(
+        sig, rr, ev, er, nuc, aux = load_read_compact_ex(
             signal_data_source, label_path, self.stride, cache_dir=self.cache_dir
         )
         t_data_loading = timer() - start
@@ -63,7 +63,7 @@ class PerformanceEvaluator:
             # results are materialized.
             start = timer()
             tokens, probs = self.engine.predict_beam_compact(
-                sig, rr, ev, er, max_output_len, self.beam_width
+                sig, rr, ev, er, max_output_len, self.beam_width, aux=aux
             )
             t_predicting = timer() - start
 

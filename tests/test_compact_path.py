@@ -105,3 +105,61 @@ def test_projected_memory_matches_baseline(tmp_path):
     t2, p2 = proj.predict_beam(raw, event, max_len, 3)
     np.testing.assert_array_equal(t1, t2)
     np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
+
+
+def test_i8dev_device_event_features(tmp_path):
+    """The 'i8dev' wire format recomputes scaled event features on device
+    from the uploaded signal + u16 event lengths; they must match the host
+    features (ravvent_tpu.data.snippets.prepare_compact) closely, and the
+    decoded tokens must agree with the f32 wire path."""
+    import jax.numpy as jnp
+
+    from ravvent_tpu.data.snippets import load_read_compact_ex
+    from ravvent_tpu.evaluation.basecall import _device_event_features
+
+    rng = np.random.default_rng(11)
+    genome = simulator.random_genome(2500, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    sp, lp = tmp_path / "r.signal", tmp_path / "r.label"
+    chiron.write_read(sp, lp, sig, ranges, genome)
+    sigc, rr, ev, er, nuc, aux = load_read_compact_ex(sp, lp, stride=6)
+    assert aux["contiguous"]
+
+    # --- direct feature parity (whole read as one "slab", i8 signal) ---
+    E = aux["ev_lens"].shape[0]
+    lo_s = int(rr[0, 0])
+    span = int(aux["ev_lens"].sum())
+    sl = sigc[lo_s : lo_s + span]
+    s_scale = max(float(np.abs(sl).max()), 1e-12) / 127.0
+    sl_q = np.clip(np.round(sl / s_scale), -127, 127).astype(np.int8)
+    hdr1 = np.zeros(16, np.float32)
+    hdr1[0:5] = aux["scaler_mean"]
+    hdr1[5:10] = aux["scaler_std"]
+    hdr1[10] = aux["raw_mean"]
+    hdr1[11] = aux["raw_std"]
+    hdr1[12] = ev[0, 1] * aux["scaler_std"][1] + aux["scaler_mean"][1]
+    ovr = ev[[0, E - 1]].astype(np.float16)
+    feats = np.asarray(
+        _device_event_features(
+            jnp.asarray(sl_q.astype(np.float32) * s_scale),
+            jnp.asarray(aux["ev_lens"].astype(np.int32)),
+            jnp.int32(E),
+            jnp.asarray(hdr1),
+            jnp.asarray(ovr.astype(np.float32)),
+        )
+    )
+    # i8 signal quantization + f32 cumsums: features match to ~1e-2 in
+    # scaled units (the scaled features are O(1))
+    assert np.abs(feats - ev).max() < 5e-2
+    assert np.abs(feats - ev).mean() < 5e-3
+
+    # --- end-to-end: tokens through the i8dev wire vs the f32 wire ---
+    cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    max_len = int((nuc != 0).sum(axis=1).max())
+    ref_eng = BasecallEngine(params, cfg, chunk_size=64, transport_dtype="f32")
+    dev_eng = BasecallEngine(params, cfg, chunk_size=64, transport_dtype="i8dev")
+    t_ref, _ = ref_eng.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    t_dev, _ = dev_eng.predict_beam_compact(sigc, rr, ev, er, max_len, 3, aux=aux)
+    assert (t_dev == t_ref).mean() > 0.9
+    assert (t_dev == t_ref).all(axis=1).mean() > 0.6

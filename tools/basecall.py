@@ -100,7 +100,7 @@ def main():
             else:
                 # no labels: treat the whole read as the region of interest
                 ranges = np.array([[0, raw.size]])
-            sig, rr, ev, er, _syms = prepare_compact(
+            sig, rr, ev, er, _syms, _aux = prepare_compact(
                 raw, ranges, np.array(["a"] * len(ranges)), stride=6
             )
             if rr.shape[0] == 0:

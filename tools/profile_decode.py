@@ -36,7 +36,7 @@ def main() -> None:
     ap.add_argument("--beam-impl", default="step", choices=["xla", "loop", "step"])
     ap.add_argument("--memory", default="bf16", choices=["bf16", "i8", "f32"])
     ap.add_argument("--transport", default="f16",
-                    choices=["f16", "f32", "i8", "i8sig"])
+                    choices=["f16", "f32", "i8", "i8sig", "i8dev"])
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--read", type=int, default=0)
@@ -49,7 +49,7 @@ def main() -> None:
     sys.argv = saved_argv
     bench.ensure_dataset()
     cfg, params, trained = bench.load_flagship()
-    from ravvent_tpu.data.snippets import load_read_compact
+    from ravvent_tpu.data.snippets import load_read_compact_ex
     from ravvent_tpu.evaluation.basecall import BasecallEngine
 
     mem = {"bf16": jnp.bfloat16, "i8": "i8", "f32": None}[args.memory]
@@ -59,7 +59,7 @@ def main() -> None:
         encoder_dtype=jnp.bfloat16, pack_u8=True, transport_dtype=args.transport,
     )
     sig_path = sorted((REPO / ".bench_data").glob("read_*.signal"))[args.read]
-    sig, rr, ev, er, nuc = load_read_compact(
+    sig, rr, ev, er, nuc, aux = load_read_compact_ex(
         sig_path, sig_path.with_suffix(".label"), 6, cache_dir=None
     )
     mol = int((nuc != 0).sum(axis=1).max())
@@ -71,15 +71,15 @@ def main() -> None:
 
     class Cap:
         def __call__(self, *a, **k):
-            calls.append(a)
+            calls.append((a, k))
             return real(*a, **k)
 
     t0 = time.perf_counter()
     eng._beam_compact_packed_jit = Cap()
-    out = eng.predict_beam_compact(sig, rr, ev, er, mol, args.beam)
+    out = eng.predict_beam_compact(sig, rr, ev, er, mol, args.beam, aux=aux)
     eng._beam_compact_packed_jit = real
     print(f"cold predict: {time.perf_counter() - t0:.1f}s "
-          f"(slabs: {[a[1].shape[0] for a in calls]})")
+          f"(slabs: {[a[1].shape[0] for a, _ in calls]})")
 
     def best(fn):
         vals = []
@@ -90,36 +90,36 @@ def main() -> None:
         return min(vals) * 1e3
 
     # end-to-end (what t_predicting measures)
-    e2e = best(lambda: eng.predict_beam_compact(sig, rr, ev, er, mol, args.beam))
+    e2e = best(lambda: eng.predict_beam_compact(sig, rr, ev, er, mol, args.beam, aux=aux))
 
     # host pack only: no-op device call
     class Fake:
         def __call__(self, *a, **k):
             return out_arr
 
-    out_arr = np.zeros_like(np.asarray(real(*calls[0])))
+    out_arr = np.zeros_like(np.asarray(real(*calls[0][0], **calls[0][1])))
     eng._beam_compact_packed_jit = Fake()
-    host = best(lambda: eng.predict_beam_compact(sig, rr, ev, er, mol, args.beam))
+    host = best(lambda: eng.predict_beam_compact(sig, rr, ev, er, mol, args.beam, aux=aux))
     eng._beam_compact_packed_jit = real
 
     tot_up = tot_comp = tot_fetch = 0.0
-    for a in calls:
+    for a, k in calls:
         h = np.asarray(a[1])
         tot_up += best(lambda: jax.device_put(h).block_until_ready())
         buf_d = jax.device_put(h)
         buf_d.block_until_ready()
         rargs = (a[0], buf_d) + tuple(a[2:])
-        r = real(*rargs)
+        r = real(*rargs, **k)
         r.block_until_ready()
-        tot_comp += best(lambda: real(*rargs).block_until_ready())
-        tot_fetch += best(lambda: np.asarray(real(*rargs))) - tot_comp
+        tot_comp += best(lambda: real(*rargs, **k).block_until_ready())
+        tot_fetch += best(lambda: np.asarray(real(*rargs, **k))) - tot_comp
 
     print(f"host pack+unpack : {host:8.1f} ms")
     print(f"H2D upload       : {tot_up:8.1f} ms "
           f"({sum(a[1].nbytes for a in calls)} bytes)")
     print(f"device compute   : {tot_comp:8.1f} ms (resident args)")
     print(f"D2H fetch        : {max(tot_fetch, 0.0):8.1f} ms "
-          f"({sum(np.asarray(real(*((a[0], a[1]) + tuple(a[2:])))).nbytes for a in calls)} bytes)")
+          f"({sum(np.asarray(real(*a, **k)).nbytes for a, k in calls)} bytes)")
     print(f"sum of legs      : {host + tot_up + tot_comp + max(tot_fetch, 0.0):8.1f} ms")
     print(f"end-to-end       : {e2e:8.1f} ms (async overlap may beat the sum)")
 
