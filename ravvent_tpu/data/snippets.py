@@ -239,7 +239,12 @@ def prepare_compact(
         "scaler_std": ev_std.astype(np.float32),
         "raw_mean": np.float32(rmean[0]),
         "raw_std": np.float32(rstd[0]),
-        "contiguous": bool((starts_i[1:] == starts_i[:-1] + lens_i[:-1]).all()),
+        # "contiguous" doubles as the wire-eligibility flag: boundaries must
+        # tile (starts reconstructible by cumsum) and lengths must fit u16
+        "contiguous": bool(
+            (starts_i[1:] == starts_i[:-1] + lens_i[:-1]).all()
+            and (lens_i > 0).all() and (lens_i < 65536).all()
+        ),
     }
     return raw_sc, raw_ranges, events_sc, events_ranges, nuc_sym_snippets, aux
 
