@@ -161,6 +161,7 @@ def _EMPTY_AUX() -> dict:
     return {
         "ev_lens": np.zeros(0, np.int64),
         "ev_starts": np.zeros(0, np.int64),
+        "stride": 0,
         "scaler_mean": np.zeros(5, np.float32),
         "scaler_std": np.ones(5, np.float32),
         "raw_mean": np.float32(0.0),
@@ -235,6 +236,7 @@ def prepare_compact(
     aux = {
         "ev_lens": lens_i,
         "ev_starts": starts_i,
+        "stride": int(stride),
         "scaler_mean": ev_mean.astype(np.float32),
         "scaler_std": ev_std.astype(np.float32),
         "raw_mean": np.float32(rmean[0]),
@@ -285,6 +287,7 @@ def load_read_compact_ex(
             z = np.load(cache_path)
             aux = {
                 "ev_lens": z["ev_lens"], "ev_starts": z["ev_starts"],
+                "stride": int(stride),
                 "scaler_mean": z["scaler_mean"], "scaler_std": z["scaler_std"],
                 "raw_mean": np.float32(z["raw_affine"][0]),
                 "raw_std": np.float32(z["raw_affine"][1]),

@@ -80,6 +80,39 @@ def _device_event_features(sig, lens, n_ev, hdr1, ovr):
     return feats
 
 
+def _device_snippet_ranges(lens, n_snip, n_rows: int, stride: int,
+                           raw_max_len: int = 200):
+    """Derive the per-snippet event/raw index ranges on device from the
+    (patched) event lengths — exact integer reproduction of the host rule
+    (ravvent_tpu.data.snippets.compute_fitting_event_ranges /
+    convert_events_ranges_to_raw_ranges; reference: data_loader.py:29-51):
+    every ``stride`` events, the window is the longest event run whose
+    cumulative raw length stays <= raw_max_len; the raw range spans from the
+    first event's start to the *start* of the last event (quirk).
+
+    ``n_rows`` (static) is the slab row count; rows >= ``n_snip`` are zeroed
+    (empty snippets). All arithmetic is integer, so parity with the host is
+    exact given the same lengths.
+    """
+    E = lens.shape[0]
+    cum = jnp.cumsum(lens)                      # [E] inclusive
+    starts = cum - lens                         # event start offsets
+    row = jnp.arange(n_rows, dtype=jnp.int32)
+    es = row * stride                           # window's first event
+    es_c = jnp.clip(es, 0, E - 1)
+    offset = jnp.where(es > 0, cum[jnp.maximum(es_c - 1, 0)], 0)
+    ee = jnp.searchsorted(cum, raw_max_len + offset, side="right").astype(
+        jnp.int32)                              # window's end event (excl), <= E
+    valid = row < n_snip
+    er = jnp.stack([jnp.where(valid, es, 0), jnp.where(valid, ee, 0)], axis=1)
+    r_lo = starts[es_c]
+    r_hi = starts[jnp.clip(ee - 1, 0, E - 1)]
+    rr = jnp.stack(
+        [jnp.where(valid, r_lo, 0), jnp.where(valid, r_hi, 0)], axis=1
+    )
+    return rr.astype(jnp.int32), er.astype(jnp.int32)
+
+
 class BasecallEngine:
     def __init__(
         self,
@@ -257,7 +290,8 @@ class BasecallEngine:
         self._beam_compact_jit = jax.jit(
             _beam_compact, static_argnames=("beam_width", "T_out"))
 
-        def _beam_compact_packed(params, buf, S_b, E_b, beam_width, T_out):
+        def _beam_compact_packed(params, buf, S_b, E_b, beam_width, T_out,
+                                 n_rows=None, stride=None):
             # Single-upload variant: signal/events/ranges arrive as ONE u8
             # buffer (host packs byte views back-to-back). On a remote-attached
             # device every host->device message pays fixed link latency
@@ -304,6 +338,16 @@ class BasecallEngine:
                 ).astype(jnp.int32)
                 off += E_b * 2
                 events = _device_event_features(sig, lens, n_ev, hdr1, ovr)
+                # The snippet index ranges are ALSO derived on device from
+                # the event lengths (exact integer reproduction of the
+                # reference's sliding-window rule, data_loader.py:29-51):
+                # nothing but the i8 signal and u16 lengths travels.
+                n_snip = jax.lax.bitcast_convert_type(
+                    buf[116:120].reshape(1, 4), jnp.int32)[0]
+                rr, er = _device_snippet_ranges(lens, n_snip, n_rows, stride)
+                return self._beam_compact_jit(
+                    params, sig, rr, events, er, max_steps, beam_width,
+                    T_out=T_out)
             elif self.transport_dtype == "i8sig":
                 # signal i8 (quantization step ~0.8% of its dynamic range,
                 # far below pore noise), event features f16 (the accuracy-
@@ -361,7 +405,8 @@ class BasecallEngine:
 
         self._beam_compact_packed_jit = jax.jit(
             _beam_compact_packed,
-            static_argnames=("S_b", "E_b", "beam_width", "T_out"))
+            static_argnames=("S_b", "E_b", "beam_width", "T_out", "n_rows",
+                             "stride"))
 
     # ------------------------------------------------------------------
     def _ms_scalar(self, v: int):
@@ -475,10 +520,12 @@ class BasecallEngine:
                     events[lo_e, 1] * aux["scaler_std"][1] + aux["scaler_mean"][1]
                 )
                 ovr = events[[lo_e, hi_e - 1]].astype(np.float16)
-                buf = np.zeros(128 + S_b + E_b * 2 + slab * 16, np.uint8)
+                # no range section: the device derives rr/er from the lengths
+                buf = np.zeros(128 + S_b + E_b * 2, np.uint8)
                 buf[:32] = hdr.view(np.uint8)
                 buf[32:96] = hdr1.view(np.uint8)
                 buf[96:116] = ovr.view(np.uint8).reshape(-1)
+                buf[116:120] = np.array([n], np.int32).view(np.uint8)
                 off = 128
                 buf[off : off + span_s] = np.clip(
                     np.round(sl / s_scale), -127, 127
@@ -487,6 +534,12 @@ class BasecallEngine:
                 buf[off : off + span_e * 2] = (
                     ev_lens.astype(np.uint16).view(np.uint8).reshape(-1))
                 off += E_b * 2
+                packed = self._beam_compact_packed_jit(
+                    self.params, jnp.asarray(buf), S_b, E_b, beam_width,
+                    T_out=T_fetch, n_rows=slab, stride=int(aux["stride"]),
+                )
+                pending.append((packed, n))
+                continue
             elif self.transport_dtype == "i8sig":
                 sl = signal[lo_s:hi_s]
                 s_scale = max(float(np.abs(sl).max()) if span_s else 0.0, 1e-12) / 127.0

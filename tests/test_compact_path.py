@@ -163,3 +163,30 @@ def test_i8dev_device_event_features(tmp_path):
     t_dev, _ = dev_eng.predict_beam_compact(sigc, rr, ev, er, max_len, 3, aux=aux)
     assert (t_dev == t_ref).mean() > 0.9
     assert (t_dev == t_ref).all(axis=1).mean() > 0.6
+
+
+def test_device_snippet_ranges_match_host(tmp_path):
+    """_device_snippet_ranges (i8dev wire) must reproduce the host's snippet
+    event/raw index ranges exactly (integer arithmetic both sides)."""
+    import jax.numpy as jnp
+
+    from ravvent_tpu.data.snippets import load_read_compact_ex
+    from ravvent_tpu.evaluation.basecall import _device_snippet_ranges
+
+    rng = np.random.default_rng(21)
+    genome = simulator.random_genome(2000, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    sp, lp = tmp_path / "r.signal", tmp_path / "r.label"
+    chiron.write_read(sp, lp, sig, ranges, genome)
+    sigc, rr, ev, er, nuc, aux = load_read_compact_ex(sp, lp, stride=6)
+    N = rr.shape[0]
+    lo_s = int(rr[0, 0])
+    n_rows = ((N + 63) // 64) * 64
+    rr_d, er_d = _device_snippet_ranges(
+        jnp.asarray(aux["ev_lens"].astype(np.int32)),
+        jnp.int32(N), n_rows, int(aux["stride"]),
+    )
+    rr_d, er_d = np.asarray(rr_d), np.asarray(er_d)
+    np.testing.assert_array_equal(er_d[:N], er)
+    np.testing.assert_array_equal(rr_d[:N], rr - lo_s)
+    assert (rr_d[N:] == 0).all() and (er_d[N:] == 0).all()
