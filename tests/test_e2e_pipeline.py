@@ -53,3 +53,31 @@ def test_train_and_evaluate_identity(tmp_path):
     # aligner is ~0.25 threshold for "mapped". Trained-enough models reach
     # >0.9 (see tools/train.py runs); here we just require clear learning.
     assert total > 35.0, (total, res)
+
+
+def test_minimap2_subprocess_path(tmp_path, monkeypatch):
+    """The minimap2 branch (subprocess + PAF parsing, the metric of record
+    when the binary is installed) — exercised with a stub minimap2 that
+    writes a fixed PAF line (reference: ravvent_mapping_evaluator.py:85-108)."""
+    import os
+    import stat
+
+    from ravvent_tpu.evaluation.mapping import MappingEvaluator, minimap2_available
+
+    stub = tmp_path / "minimap2"
+    stub.write_text(
+        "#!/bin/sh\n"
+        # name qlen qstart qend strand tname tlen tstart tend matches block mapq
+        'printf "q\\t100\\t0\\t100\\t+\\tt\\t100\\t0\\t100\\t93\\t100\\t60\\n"\n'
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}" + os.environ["PATH"])
+    assert minimap2_available()
+
+    ev = MappingEvaluator(engine=None, use_minimap2=True)
+    res = ev.map_identity("ACGT" * 25, "ACGT" * 25)
+    assert res["mapper"] == "minimap2"
+    assert res["matches"] == 93
+    assert res["total_block_len"] == 100
+    assert res["read_length"] == 100
+    assert abs(res["identity"] - 0.93) < 1e-9
