@@ -538,6 +538,11 @@ class BasecallEngine:
                     self.params, jnp.asarray(buf), S_b, E_b, beam_width,
                     T_out=T_fetch, n_rows=slab, stride=int(aux["stride"]),
                 )
+                # Start the device->host copy as soon as the slab finishes:
+                # the fetch then overlaps later slabs' upload/compute instead
+                # of serializing after them (each fetch pays ~30ms of link
+                # latency plus result bytes over a ~10MB/s downlink here).
+                packed.copy_to_host_async()
                 pending.append((packed, n))
                 continue
             elif self.transport_dtype == "i8sig":
@@ -598,6 +603,8 @@ class BasecallEngine:
             )
             # fetch the full slab and drop pad rows on host: the extra pad
             # bytes are cheaper than another device dispatch for the slice
+            # (async copy: overlap this slab's fetch with the next's work)
+            packed.copy_to_host_async()
             pending.append((packed, n))
         T = T_fetch
         toks, prbs = [], []
@@ -643,6 +650,8 @@ class BasecallEngine:
                 self.params, jnp.asarray(rc), jnp.asarray(ec),
                 self._ms_scalar(max_output_len - 1), beam_width,
             )
+            toks.copy_to_host_async()
+            probs.copy_to_host_async()
             pending.append((toks, probs, n))
         # same trimmed width as the compact path (the tail is end-token fill)
         T = min(self.total_steps, ((max_output_len + 7) // 8) * 8)
@@ -661,6 +670,8 @@ class BasecallEngine:
                 self.params, jnp.asarray(rc), jnp.asarray(ec),
                 self._ms_scalar(max_output_len - 1),
             )
+            toks.copy_to_host_async()
+            logits.copy_to_host_async()
             pending.append((toks, logits, n))
         T = min(self.total_steps, ((max_output_len + 7) // 8) * 8)
         toks_out = [np.asarray(t[:n, :T]) for t, _, n in pending]
