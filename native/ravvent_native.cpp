@@ -422,52 +422,59 @@ long local_align_core(const char* s1, long n, const char* s2, long m,
   // This runs once per snippet in the merge fold (~3k calls per read), so
   // per-call heap churn dominates the 25x25 DP itself: score rows roll
   // (only H/F of the previous row are ever read back; E is a running
-  // register), and the traceback matrices live in thread-local scratch
-  // with only their row-0/col-0 boundaries cleared.
-  static thread_local std::vector<int8_t> tb_buf, te_buf, tf_buf;
+  // register), and the traceback lives in thread-local scratch with only
+  // its row-0/col-0 boundaries cleared. Traceback is packed into one byte
+  // per cell (bits 0-1: H move, bit 2: E-extend, bit 3: F-extend) — one
+  // store per cell instead of three.
+  static thread_local std::vector<uint8_t> tb_buf;
   static thread_local std::vector<double> row_buf;
   const size_t cells = (size_t)(n + 1) * W;
-  if (tb_buf.size() < cells) {
-    tb_buf.resize(cells); te_buf.resize(cells); tf_buf.resize(cells);
-  }
+  if (tb_buf.size() < cells) tb_buf.resize(cells);
   if (row_buf.size() < (size_t)(4 * W)) row_buf.resize(4 * W);
-  int8_t* TB = tb_buf.data();
-  int8_t* TE = te_buf.data();
-  int8_t* TF = tf_buf.data();
+  uint8_t* TB = tb_buf.data();
   double* Hprev = row_buf.data();
   double* Hcur = Hprev + W;
   double* Fprev = Hcur + W;
   double* Fcur = Fprev + W;
   for (long j = 0; j < W; ++j) { Hprev[j] = 0.0; Fprev[j] = kNeg; }
   std::memset(TB, 0, W);  // row 0: traceback stops
-  std::memset(TE, 0, W);
-  std::memset(TF, 0, W);
   double best_score = 0.0;
   long bi = 0, bj = 0;
   for (long i = 1; i <= n; ++i) {
     double e = kNeg;
     Hcur[0] = 0.0;
     Fcur[0] = kNeg;
-    TB[i * W] = TE[i * W] = TF[i * W] = 0;  // col 0 boundary
+    TB[i * W] = 0;  // col 0 boundary
+    const char a = s1[i - 1];
+    // Branchless cell update: every comparison here is ~50/50 on real data,
+    // so the naive if-chains pay constant mispredicts (~16ns/cell measured);
+    // ternaries compile to cmov/maxsd. Tie-breaking (strict '>') is
+    // identical to the Python oracle.
     for (long j = 1; j <= m; ++j) {
-      const long c = i * W + j;
-      double f_open = Hprev[j] + gap_open;
-      double f_ext = Fprev[j] + gap_extend;
-      double f;
-      if (f_ext > f_open) { f = f_ext; TF[c] = 1; } else { f = f_open; TF[c] = 0; }
+      const double f_open = Hprev[j] + gap_open;
+      const double f_ext = Fprev[j] + gap_extend;
+      const bool fx = f_ext > f_open;
+      const double f = fx ? f_ext : f_open;
       Fcur[j] = f;
-      double e_open = Hcur[j - 1] + gap_open;
-      double e_ext = e + gap_extend;
-      if (e_ext > e_open) { e = e_ext; TE[c] = 1; } else { e = e_open; TE[c] = 0; }
-      double bestv = 0.0;
-      int8_t tb = 0;
-      double d = Hprev[j - 1] + sub(s1[i - 1], s2[j - 1]);
-      if (d > bestv) { bestv = d; tb = 1; }
-      if (f > bestv) { bestv = f; tb = 2; }
-      if (e > bestv) { bestv = e; tb = 3; }
+      const double e_open = Hcur[j - 1] + gap_open;
+      const double e_ext = e + gap_extend;
+      const bool ex = e_ext > e_open;
+      e = ex ? e_ext : e_open;
+      const double d = Hprev[j - 1] + sub(a, s2[j - 1]);
+      double bestv = d > 0.0 ? d : 0.0;
+      uint8_t tb = d > 0.0 ? 1 : 0;
+      const bool bf = f > bestv;
+      bestv = bf ? f : bestv;
+      tb = bf ? 2 : tb;
+      const bool be = e > bestv;
+      bestv = be ? e : bestv;
+      tb = be ? 3 : tb;
       Hcur[j] = bestv;
-      TB[c] = tb;
-      if (bestv > best_score) { best_score = bestv; bi = i; bj = j; }
+      TB[i * W + j] = tb | (uint8_t)(ex ? 4 : 0) | (uint8_t)(fx ? 8 : 0);
+      const bool bb = bestv > best_score;
+      best_score = bb ? bestv : best_score;
+      bi = bb ? i : bi;
+      bj = bb ? j : bj;
     }
     std::swap(Hprev, Hcur);
     std::swap(Fprev, Fcur);
@@ -477,23 +484,21 @@ long local_align_core(const char* s1, long n, const char* s2, long m,
   long i = bi, j = bj;
   int state = 0;
   while (i > 0 || j > 0) {
-    const long c = i * W + j;
+    const uint8_t cell = TB[i * W + j];
     if (state == 0) {
-      int8_t tb = TB[c];
+      uint8_t tb = cell & 3;
       if (tb == 0) break;
       if (tb == 1) { c1.push_back(s1[i - 1]); c2.push_back(s2[j - 1]); --i; --j; }
       else if (tb == 2) state = 1;
       else state = 2;
     } else if (state == 1) {
       c1.push_back(s1[i - 1]); c2.push_back('-');
-      int8_t ext = TF[c];
       --i;
-      state = ext ? 1 : 0;
+      state = (cell & 8) ? 1 : 0;
     } else {
       c1.push_back('-'); c2.push_back(s2[j - 1]);
-      int8_t ext = TE[c];
       --j;
-      state = ext ? 2 : 0;
+      state = (cell & 4) ? 2 : 0;
     }
   }
   long st1 = i, st2 = j;

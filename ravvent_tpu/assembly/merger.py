@@ -40,10 +40,14 @@ class SeqLogitsPair:
                 index += 1
         return logits_gapped
 
-    def __init__(self, seq: str, logits: List[float]) -> None:
+    def __init__(self, seq: str, logits) -> None:
         assert len(seq) == len(logits)
         self._seq = seq
-        self._logits = list(logits)
+        # Keep numpy score arrays as-is and convert lazily: the evaluators
+        # only read .seq from the merged pair, and the list conversion of a
+        # ~60k-score read costs ~3ms.
+        self._logits = None if isinstance(logits, np.ndarray) else list(logits)
+        self._logits_arr = logits if isinstance(logits, np.ndarray) else None
 
     @property
     def seq(self) -> str:
@@ -51,6 +55,8 @@ class SeqLogitsPair:
 
     @property
     def logits(self) -> List[float]:
+        if self._logits is None:
+            self._logits = self._logits_arr.tolist()
         return self._logits
 
 
@@ -156,6 +162,40 @@ class Merger:
                 pass
         return alignment.local_align(
             s1, s2, sc["match"], sc["mismatch"], sc["gap_open"], sc["gap_extend"]
+        )
+
+    def merge_flat(
+        self, blob: bytes, offsets: np.ndarray, flat_logits: np.ndarray
+    ) -> SeqLogitsPair:
+        """Fold over snippets given as one flat ASCII blob + row offsets +
+        flat per-base scores (see NucTokenizer.sequences_to_texts_flat) —
+        the zero-marshalling fast path into the native fold."""
+        if self.use_native and offsets.size > 2:
+            try:
+                from ravvent_tpu.ops import native
+
+                if native.available():
+                    sc = SCORE_SETS[self.scores_id]
+                    kw = (
+                        dict(match=0.0, mismatch=0.0,
+                             submat=_submat_array(sc["matrix"]))
+                        if "matrix" in sc
+                        else dict(match=sc["match"], mismatch=sc["mismatch"])
+                    )
+                    out = native.merge_read_flat(
+                        blob, offsets, flat_logits, gap_open=sc["gap_open"],
+                        gap_extend=sc["gap_extend"],
+                        overlap_len=self.overlap_seq_len, **kw,
+                    )
+                    if out is not None:
+                        return SeqLogitsPair(out[0], out[1])
+            except Exception:
+                logger.exception("native merge failed; falling back to python")
+        big = blob.decode("ascii")
+        seqs = [big[offsets[i] : offsets[i + 1]] for i in range(offsets.size - 1)]
+        rows = [flat_logits[offsets[i] : offsets[i + 1]] for i in range(offsets.size - 1)]
+        return self.merge(
+            [SeqLogitsPair(s, list(np.asarray(l, dtype=float))) for s, l in zip(seqs, rows)]
         )
 
     def merge_arrays(self, seqs: List[str], logits: List) -> SeqLogitsPair:

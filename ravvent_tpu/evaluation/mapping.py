@@ -77,11 +77,13 @@ class MappingEvaluator:
         tokens, probs = self.engine.predict_beam_compact(
             sig, rr, ev, er, max_output_len, self.beam_width, aux=aux
         )
-        seqs = self.engine.tokens_to_sequences(tokens)
+        from ravvent_tpu.tokenizer import NUC_TOKENIZER
+
+        _, blob, offsets = NUC_TOKENIZER.sequences_to_texts_flat(tokens)
         probs = np.asarray(probs, dtype=np.float64)
-        return self.merger.merge_arrays(
-            seqs, [sc[: len(seq)] for seq, sc in zip(seqs, probs)]
-        )
+        counts = np.diff(offsets)
+        prefix = np.arange(probs.shape[1])[None, :] < counts[:, None]
+        return self.merger.merge_flat(blob, offsets, probs[prefix])
 
     def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:
         """Per-read identity (reference: ravvent_mapping_evaluator.py:31-72)."""

@@ -68,14 +68,22 @@ class PerformanceEvaluator:
             t_predicting = timer() - start
 
             start = timer()
-            seqs = self.engine.tokens_to_sequences(tokens)
+            # Flat postprocessing: one vectorized token->ASCII compress for
+            # the whole read; per-snippet scores are the first len(seq) probs
+            # of each row (reference: logits[:len(seq)] slicing) selected by
+            # a prefix mask — no per-row Python work.
+            from ravvent_tpu.tokenizer import NUC_TOKENIZER
+
+            seqs, blob, offsets = NUC_TOKENIZER.sequences_to_texts_flat(tokens)
             probs = np.asarray(probs, dtype=np.float64)
-            logit_rows = [sc[: len(seq)] for seq, sc in zip(seqs, probs)]
+            counts = np.diff(offsets)
+            prefix = np.arange(probs.shape[1])[None, :] < counts[:, None]
+            flat_probs = probs[prefix]
             t_postprocessing = timer() - start
 
         start = timer()
         if rr.shape[0]:
-            self.merger.merge_arrays(seqs, logit_rows)
+            self.merger.merge_flat(blob, offsets, flat_probs)
         t_merge = timer() - start
 
         return {

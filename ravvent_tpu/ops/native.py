@@ -195,3 +195,38 @@ def merge_read(
         out_seq, out_log.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
     )
     return out_seq.value.decode(), out_log[:n].tolist()
+
+
+def merge_read_flat(
+    blob: bytes, offsets: np.ndarray, flat_logits: np.ndarray,
+    match: float, mismatch: float,
+    gap_open: float, gap_extend: float, overlap_len: int = 25,
+    submat: Optional[np.ndarray] = None,
+):
+    """:func:`merge_read` on pre-flattened inputs: ``blob`` is the snippet
+    sequences concatenated as ASCII bytes, ``offsets[i]:offsets[i+1]``
+    delimits snippet i in both ``blob`` and ``flat_logits``. Skips the
+    join/concatenate marshalling (and the list conversion of the output
+    scores — returns a numpy array). Returns None if the library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    flat_logits = np.ascontiguousarray(flat_logits, dtype=np.float64)
+    if flat_logits.size != offsets[-1] or len(blob) != offsets[-1]:
+        raise ValueError("logits/seq length mismatch")
+    n_snippets = offsets.size - 1
+    cap = int(offsets[-1]) + overlap_len + 2
+    out_seq = ctypes.create_string_buffer(cap)
+    out_log = np.empty(cap, dtype=np.float64)
+    sm = (
+        submat.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if submat is not None else None
+    )
+    n = lib.rv_merge_read(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        flat_logits.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_snippets, match, mismatch, gap_open, gap_extend, sm, overlap_len,
+        out_seq, out_log.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
+    )
+    return out_seq.value.decode(), out_log[:n]

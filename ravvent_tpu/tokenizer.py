@@ -60,15 +60,39 @@ class NucTokenizer:
 
     def sequences_to_texts(self, tokens: np.ndarray) -> List[str]:
         """Token rows -> uppercase base strings, start/end/pad stripped
-        (reference: basecaller.py:289-294). Vectorized: tokens map to ASCII
-        through a lookup table and non-base tokens compress out per row in C
-        (the per-token Python loop costs ~40ms/read at production sizes)."""
+        (reference: basecaller.py:289-294)."""
+        seqs, _, _ = self.sequences_to_texts_flat(tokens)
+        return seqs
+
+    def sequences_to_texts_flat(self, tokens: np.ndarray):
+        """Vectorized token->string conversion returning, alongside the per-row
+        strings, the flat base-call blob and row offsets: one whole-array
+        compress + one decode, with rows recovered as slices of the big string
+        (per-row numpy masking costs ~10ms/read at production sizes; the flat
+        blob also feeds the native merge without re-joining the rows).
+
+        Returns ``(seqs, blob, offsets)``: ``blob`` is the concatenation of
+        all rows as ASCII bytes, ``offsets[i]:offsets[i+1]`` delimits row i in
+        it (and in any array compressed with :meth:`base_mask`)."""
         tokens = np.asarray(tokens)
+        mask = self.base_mask(tokens)
         lut = np.zeros(256, dtype=np.uint8)
         for b in "acgt":
             lut[self.word_index[b]] = ord(b.upper())
-        ascii_rows = lut[tokens.astype(np.uint8)]
-        return [bytes(row[row != 0]).decode("ascii") for row in ascii_rows]
+        offsets = np.zeros(tokens.shape[0] + 1, dtype=np.int64)
+        np.cumsum(mask.sum(axis=1), out=offsets[1:])
+        blob = lut[tokens.astype(np.uint8)][mask].tobytes()
+        big = blob.decode("ascii")
+        seqs = [big[offsets[i] : offsets[i + 1]] for i in range(tokens.shape[0])]
+        return seqs, blob, offsets
+
+    def base_mask(self, tokens: np.ndarray) -> np.ndarray:
+        """Boolean mask of base (a/c/g/t) tokens — the positions that survive
+        sequences_to_texts stripping."""
+        tokens = np.asarray(tokens)
+        return (tokens >= self.word_index["a"]) & (
+            tokens <= self.word_index["t"]
+        )
 
 
 NUC_TOKENIZER = NucTokenizer()
