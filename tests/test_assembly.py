@@ -161,3 +161,40 @@ def test_native_merge_fold_matches_python(seed):
     m_nat_res = m_nat.merge(snips)
     assert m_nat_res.seq == m_py_res.seq
     np.testing.assert_allclose(m_nat_res.logits, m_py_res.logits, rtol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_merge_flat_matches_merge_arrays(seed):
+    """merge_flat (flat blob/offsets/scores, zero-marshalling native path)
+    must equal merge_arrays on the same snippets — including rows that
+    contain non-base tokens mid-row, where the reference's logits[:len(seq)]
+    prefix-slicing semantics apply."""
+    from ravvent_tpu.tokenizer import NUC_TOKENIZER
+
+    rng = np.random.default_rng(seed)
+    N, T = 200, 40
+    tokens = rng.integers(3, 7, size=(N, T))
+    lens = rng.integers(26, 38, size=N)
+    for i in range(N):
+        tokens[i, lens[i]:] = 1
+    # mid-row non-base tokens: stripped from the sequence, and the row's
+    # scores are its first len(seq) probs (reference bug-compatible slicing)
+    tokens[3, 5] = 0
+    tokens[7, 2] = 2
+    probs = rng.random((N, T))
+
+    seqs, blob, offsets = NUC_TOKENIZER.sequences_to_texts_flat(tokens)
+    assert seqs == NUC_TOKENIZER.sequences_to_texts(tokens)
+    assert len(seqs[3]) == int(lens[3]) - 1 and len(seqs[7]) == int(lens[7]) - 1
+
+    counts = np.diff(offsets)
+    prefix = np.arange(T)[None, :] < counts[:, None]
+    flat = probs[prefix]
+    logit_rows = [probs[i, : len(s)] for i, s in enumerate(seqs)]
+
+    for use_native in (True, False):
+        m = Merger(use_native=use_native)
+        a = m.merge_arrays(seqs, logit_rows)
+        b = m.merge_flat(blob, offsets, flat)
+        assert a.seq == b.seq
+        np.testing.assert_allclose(a.logits, b.logits, rtol=1e-12)
