@@ -105,9 +105,12 @@ class ShardedBasecallEngine:
         event_ranges: np.ndarray,
         max_output_len: int,
         beam_width: int = 5,
+        aux: Optional[dict] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Compact-representation decode sharded over the mesh (same
-        semantics as BasecallEngine.predict_beam_compact, f32 wire)."""
+        semantics as BasecallEngine.predict_beam_compact, f32 wire; ``aux``
+        is accepted for evaluator interchangeability and unused — the
+        sharded path ships full-precision features)."""
         N = raw_ranges.shape[0]
         if N == 0:
             return (np.zeros((0, self.total_steps), np.int64),

@@ -1,0 +1,125 @@
+"""Multi-chip scaling benchmark: throughput vs mesh size.
+
+The reference has no distributed execution (SURVEY.md §2.3); this harness
+measures the green-field scaling story: snippet batches sharded over a
+``('data',)`` mesh (ShardedBasecallEngine), reads owned per host. It runs the
+reference throughput protocol (beam prediction + postprocessing + merge over
+``total_processing``, reference: ravvent_performance_evaluator.py) at a
+ladder of mesh sizes and reports bases/s + parallel efficiency per size.
+
+On real multi-chip hardware this measures true scaling; without it, run on a
+virtual CPU mesh (``--virtual N``) to exercise the identical sharded program
+(numbers then characterize the harness, not TPU silicon).
+
+Usage:
+  python tools/bench_scaling.py --virtual 8 --sizes 1,2,4,8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+if "--virtual" in sys.argv:
+    _n = int(sys.argv[sys.argv.index("--virtual") + 1])
+    try:
+        import jax.extend
+
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", _n)
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=None, metavar="N",
+                    help="use an N-device virtual CPU mesh (no TPU needed)")
+    ap.add_argument("--sizes", default="1,2,4,8",
+                    help="comma-separated mesh sizes to sweep")
+    ap.add_argument("--reads", type=int, default=2)
+    ap.add_argument("--read-len", type=int, default=6000)
+    ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--data-dir", default=str(REPO / ".bench_scaling_data"))
+    args = ap.parse_args()
+
+    from ravvent_tpu.config import ModelConfig
+    from ravvent_tpu.data import chiron, simulator
+    from ravvent_tpu.evaluation.performance import PerformanceEvaluator
+    from ravvent_tpu.models.basecaller import init_basecaller
+    from ravvent_tpu.parallel.inference import ShardedBasecallEngine
+    from ravvent_tpu.parallel.mesh import make_mesh
+
+    data_dir = Path(args.data_dir)
+    fi = data_dir / "files_info.snippets.stride_6.json"
+    if not fi.exists():
+        rng = np.random.default_rng(7)
+        genome = simulator.generate_reduced_genome(43, 120_000, rng)
+        simulator.generate_chiron_dataset(
+            data_dir, genome, n_reads=args.reads,
+            read_len_range=(args.read_len, args.read_len + 2000),
+            seed=1234, noise_std=9.0,
+        )
+        fi = chiron.create_files_info(data_dir, stride=6, verbose=False)
+
+    cfg = ModelConfig(
+        enc_units=128, dec_units=128, encoder_depth=2, decoder_depth=1,
+        rnn_type="bilstm", attention_type="luong", data_type="joint",
+    )
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    ckpt = REPO / "checkpoints" / "flagship"
+    if ckpt.exists():
+        try:
+            from ravvent_tpu.training.checkpoints import CheckpointManager
+
+            state = CheckpointManager(str(ckpt.parent)).restore(
+                "flagship", template={"params": params})
+            params = state["params"]
+        except Exception as e:  # pragma: no cover
+            print(f"warning: checkpoint load failed: {e}", file=sys.stderr)
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    n_avail = len(jax.devices())
+    sizes = [s for s in sizes if s <= n_avail]
+    rows = []
+    for n in sizes:
+        mesh = make_mesh(n)
+        engine = ShardedBasecallEngine(
+            params, cfg, mesh, chunk_size=args.chunk)
+        pe = PerformanceEvaluator(
+            engine, beam_width=args.beam, cache_dir=str(data_dir / "cache"))
+        results = pe.evaluate_files(
+            fi, data_dir / f"perf_mesh{n}.json", verbose=False, repeats=3)
+        bases = sum(r["bases_num"] for r in results)
+        t = sum(r["total_processing"] for r in results)
+        rows.append({"mesh": n, "bases_per_s": bases / t})
+
+    base = rows[0]["bases_per_s"]
+    print(f"{'mesh':>5} {'bases/s':>12} {'speedup':>8} {'efficiency':>10}")
+    for r in rows:
+        sp = r["bases_per_s"] / base
+        eff = sp / r["mesh"]
+        r["speedup"] = round(sp, 2)
+        r["efficiency"] = round(eff, 3)
+        print(f"{r['mesh']:>5} {r['bases_per_s']:>12.1f} {sp:>8.2f} {eff:>10.3f}")
+    print(json.dumps({
+        "metric": "scaling sweep (sharded inference)",
+        "device": str(jax.devices()[0]),
+        "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()
