@@ -129,7 +129,18 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
     w_rr = np.stack([starts, starts + 190], axis=1)
     estarts = (np.arange(chunk_size) * 6).astype(np.int64)
     w_er = np.stack([estarts, estarts + 25], axis=1)
-    engine.predict_beam_compact(w_sig, w_rr, w_ev, w_er, 40, beam_width)
+    w_aux = None
+    if transport == "i8dev":
+        # the i8dev wire needs the per-read aux (event lengths + scaler
+        # stats); synthesize a consistent one for the warmup compile
+        w_aux = {
+            "ev_lens": np.full(chunk_size * 6, 9, np.uint16),
+            "scaler_mean": np.zeros(5, np.float32),
+            "scaler_std": np.ones(5, np.float32),
+            "raw_mean": 0.0, "raw_std": 1.0, "stride": 6, "contiguous": True,
+        }
+    engine.predict_beam_compact(w_sig, w_rr, w_ev, w_er, 40, beam_width,
+                                aux=w_aux)
 
     cache = str(BENCH_DATA / "cache")
     pe = PerformanceEvaluator(engine, beam_width=beam_width, cache_dir=cache)
@@ -198,7 +209,7 @@ def main():
                          "identity cost measured at 0.02pt)")
     ap.add_argument("--pack-u8", action=argparse.BooleanOptionalAction, default=True,
                     help="nibble-pack tokens + u8-quantize step probs (2x less download)")
-    ap.add_argument("--transport", default="f16",
+    ap.add_argument("--transport", default="i8dev",
                     choices=["f16", "f32", "i8", "i8sig", "i8dev"],
                     help="wire format of compact-path inputs (i8sig: signal "
                          "i8 + events f16; i8dev: signal i8 + u16 event "
