@@ -98,7 +98,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
               memory: str = "bf16", project_values: bool = False,
               beam_impl: str = "xla", bf16_encoder: bool = True,
               pack_u8: bool = True, trace_dir: str | None = None,
-              transport: str = "f16"):
+              transport: str = "f16", prob_bits: int = 4):
     import jax.numpy as jnp
 
     from ravvent_tpu.evaluation.basecall import BasecallEngine
@@ -118,6 +118,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         encoder_dtype=jnp.bfloat16 if bf16_encoder else None,
         pack_u8=pack_u8,
         transport_dtype=transport,
+        prob_bits=prob_bits,
     )
 
     # Warm up the compact-path compile (steady-state throughput is the
@@ -165,6 +166,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         "memory": memory,
         "bf16_encoder": bf16_encoder,
         "pack_u8": pack_u8,
+        "prob_bits": prob_bits,
         "project_values": project_values,
         "beam_width": beam_width,
         "chunk_size": chunk_size,
@@ -214,6 +216,9 @@ def main():
                     help="wire format of compact-path inputs (i8sig: signal "
                          "i8 + events f16; i8dev: signal i8 + u16 event "
                          "lengths, features recomputed on device)")
+    ap.add_argument("--prob-bits", type=int, default=4, choices=[8, 4],
+                    help="step-prob quantization in the packed fetch (4 = "
+                         "nibble-packed, identity-neutral, ~third less download)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the perf run to DIR")
     args = ap.parse_args()
@@ -236,7 +241,7 @@ def main():
                 memory=args.memory, project_values=args.project_values,
                 beam_impl=args.beam_impl, bf16_encoder=args.bf16_encoder,
                 pack_u8=args.pack_u8, trace_dir=args.trace,
-                transport=args.transport)
+                transport=args.transport, prob_bits=args.prob_bits)
             break
         except Exception as e:
             msg = str(e)

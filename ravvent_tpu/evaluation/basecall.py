@@ -127,6 +127,7 @@ class BasecallEngine:
         encoder_dtype=None,
         pack_u8: bool = False,
         transport_dtype: str = "f16",
+        prob_bits: int = 8,
     ) -> None:
         """``memory_dtype=jnp.bfloat16`` stores the attention memory
         (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
@@ -183,6 +184,12 @@ class BasecallEngine:
         self.pack_u8 = pack_u8
         assert transport_dtype in ("f16", "f32", "i8", "i8sig", "i8dev")
         self.transport_dtype = transport_dtype
+        # prob_bits=4 (with pack_u8) nibble-packs the step probabilities too:
+        # they only rank overlap columns in the merge fold and set FASTQ
+        # quals, and 16 levels measured identity-neutral (see bench ledger) —
+        # another ~third off the result fetch.
+        assert prob_bits in (8, 4)
+        self.prob_bits = prob_bits
 
         mcfg = cfg
 
@@ -271,15 +278,24 @@ class BasecallEngine:
             # instead of two halves the fixed cost.
             if self.pack_u8:
                 # vocab 7 fits a nibble: two tokens per byte; probs in (0,1]
-                # quantized to u8 — ~2x less download than int8+fp16.
+                # quantized to u8 — ~2x less download than int8+fp16 — or to
+                # a nibble as well with prob_bits=4.
                 T = tokens.shape[1]
                 tok = tokens.astype(jnp.uint8)
                 if T % 2:
                     tok = jnp.pad(tok, ((0, 0), (0, 1)))
                 tok_b = tok[:, 0::2] | (tok[:, 1::2] << 4)
-                prob_b = jnp.round(
-                    jnp.clip(probs, 0.0, 1.0) * 255.0
-                ).astype(jnp.uint8)
+                if self.prob_bits == 4:
+                    pq = jnp.round(
+                        jnp.clip(probs, 0.0, 1.0) * 15.0
+                    ).astype(jnp.uint8)
+                    if T % 2:
+                        pq = jnp.pad(pq, ((0, 0), (0, 1)))
+                    prob_b = pq[:, 0::2] | (pq[:, 1::2] << 4)
+                else:
+                    prob_b = jnp.round(
+                        jnp.clip(probs, 0.0, 1.0) * 255.0
+                    ).astype(jnp.uint8)
                 return jnp.concatenate([tok_b, prob_b], axis=1)
             tok_b = jax.lax.bitcast_convert_type(tokens.astype(jnp.int8), jnp.uint8)
             prob_b = jax.lax.bitcast_convert_type(
@@ -616,7 +632,13 @@ class BasecallEngine:
                 tok[:, 0::2] = arr[:, :Tb] & 0xF
                 tok[:, 1::2] = arr[:, :Tb] >> 4
                 toks.append(tok[:, :T])
-                prbs.append(arr[:, Tb:].astype(np.float32) / 255.0)
+                if self.prob_bits == 4:
+                    pq = np.empty((arr.shape[0], 2 * Tb), np.float32)
+                    pq[:, 0::2] = arr[:, Tb:] & 0xF
+                    pq[:, 1::2] = arr[:, Tb:] >> 4
+                    prbs.append(pq[:, :T] / 15.0)
+                else:
+                    prbs.append(arr[:, Tb:].astype(np.float32) / 255.0)
             else:
                 toks.append(arr[:, :T].copy().view(np.int8).astype(np.int64))
                 prbs.append(arr[:, T:].copy().view(np.float16).astype(np.float32))
