@@ -190,3 +190,24 @@ def test_device_snippet_ranges_match_host(tmp_path):
     np.testing.assert_array_equal(er_d[:N], er)
     np.testing.assert_array_equal(rr_d[:N], rr - lo_s)
     assert (rr_d[N:] == 0).all() and (er_d[N:] == 0).all()
+
+
+def test_prob_bits4_fetch_matches_baseline(tmp_path):
+    """prob_bits=4 (nibble-packed step probs) returns identical tokens and
+    probs within the 1/15 quantization step."""
+    rng = np.random.default_rng(11)
+    genome = simulator.random_genome(1500, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    sp, lp = tmp_path / "r.signal", tmp_path / "r.label"
+    chiron.write_read(sp, lp, sig, ranges, genome)
+    sigc, rr, ev, er, nuc = load_read_compact(sp, lp, stride=6)
+
+    cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    max_len = int((nuc != 0).sum(axis=1).max())
+    base = BasecallEngine(params, cfg, chunk_size=64)
+    packed = BasecallEngine(params, cfg, chunk_size=64, pack_u8=True, prob_bits=4)
+    t1, p1 = base.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    t2, p2 = packed.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    np.testing.assert_array_equal(t1, t2)
+    assert np.abs(np.clip(p1, 0, 1) - p2).max() <= 0.5 / 15 + 5e-3
