@@ -65,6 +65,7 @@ def main() -> None:
         return any(k in name.lower() for k in ("tpu", "xla", "device", "/device"))
 
     per_op = defaultdict(float)
+    per_op_n = defaultdict(int)
     per_cat = defaultdict(float)
     total = 0.0
     spans = []
@@ -74,6 +75,7 @@ def main() -> None:
         dur = e.get("dur", 0) / 1e3  # us -> ms
         name = e.get("name", "?")
         per_op[name] += dur
+        per_op_n[name] += 1
         total += dur
         spans.append((e.get("ts", 0), dur))
         cat = re.split(r"[.\d]", name, 1)[0]
@@ -82,9 +84,11 @@ def main() -> None:
     print(f"devices: {sorted(set(v for v in pid_names.values() if v))}")
     print(f"total device-op time: {total:.2f} ms "
           f"across {len(spans)} events\n")
-    print(f"{'ms':>10}  {'%':>5}  op")
+    print(f"{'ms':>10}  {'%':>5}  {'n':>5}  {'mean_us':>8}  op")
     for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[: args.top]:
-        print(f"{ms:10.2f}  {100 * ms / max(total, 1e-9):5.1f}  {name[:100]}")
+        n = per_op_n[name]
+        print(f"{ms:10.2f}  {100 * ms / max(total, 1e-9):5.1f}  {n:5d}  "
+              f"{1e3 * ms / n:8.1f}  {name[:100]}")
     print(f"\n{'ms':>10}  {'%':>5}  category")
     for name, ms in sorted(per_cat.items(), key=lambda kv: -kv[1])[: args.top]:
         print(f"{ms:10.2f}  {100 * ms / max(total, 1e-9):5.1f}  {name[:60]}")
