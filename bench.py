@@ -146,7 +146,12 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
     cache = str(BENCH_DATA / "cache")
     pe = PerformanceEvaluator(engine, beam_width=beam_width, cache_dir=cache)
     if trace_dir:
-        with jax.profiler.trace(trace_dir):
+        # host/python tracing off: host events can flood the 1M-event
+        # Chrome-trace export cap and evict every device event
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = 0
+        opts.python_tracer_level = 0
+        with jax.profiler.trace(trace_dir, profiler_options=opts):
             results = pe.evaluate_files(
                 fi, BENCH_DATA / "perf_results.json", verbose=False, repeats=2
             )

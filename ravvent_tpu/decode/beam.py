@@ -41,6 +41,22 @@ class BeamResult(NamedTuple):
     scores: jnp.ndarray  # [B, T, W] per-step cumulative log-probs (slot-major)
 
 
+def take_along_beam(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``take_along_axis(a, idx, axis=1)`` for a tiny (beam-width) axis.
+
+    XLA lowers a ``[B, W]`` gather on TPU to a serialized scalar-load loop
+    (~150us for [3072, 5] — measured via tools/parse_trace.py); the
+    equivalent W-way one-hot select is a couple of VPU passes.
+    """
+    W = a.shape[1]
+    sel = idx[..., None] == jnp.arange(W, dtype=idx.dtype)  # [B, W, W]
+    if a.dtype == jnp.bool_:
+        return jnp.any(sel & a[:, None, :], axis=-1)
+    return jnp.where(sel, a[:, None, :], jnp.zeros((), a.dtype)).sum(
+        axis=-1, dtype=a.dtype
+    )
+
+
 def _fold(x):  # [B, W, ...] -> [B*W, ...]
     return x.reshape((-1,) + x.shape[2:])
 
@@ -115,9 +131,9 @@ def beam_decode(
         parent = idx // V
         token = idx % V
 
-        prev_finished = jnp.take_along_axis(finished, parent, axis=1)
+        prev_finished = take_along_beam(finished, parent)
         new_finished = jnp.logical_or(prev_finished, token == end_token)
-        prev_lengths = jnp.take_along_axis(lengths, parent, axis=1)
+        prev_lengths = take_along_beam(lengths, parent)
         new_lengths = prev_lengths + (~prev_finished).astype(jnp.int32)
 
         # gather decoder state along beams
@@ -170,34 +186,38 @@ def _gather_tree(
     # per-batch max sequence length (tfa: reduce_max over beams of lengths)
     max_len = jnp.minimum(jnp.max(lengths[last], axis=1), eff_T)  # [B]
 
-    out0 = jnp.full((T, B, W), end_token, dtype=tokens.dtype)
     beam_idx0 = jnp.broadcast_to(jnp.arange(W)[None, :], (B, W))
+    end_tok = jnp.asarray(end_token, tokens.dtype)
 
-    def back_body(carry, t_rev):
-        out, beam = carry
-        t = T - 1 - t_rev
+    # Emit per-step outputs as scan ys over time-reversed inputs instead of
+    # carrying an [T, B, W] buffer updated with .at[t].set — the carried
+    # dynamic-update-slice costs ~115us/step on TPU (parse_trace fusion.110).
+    def back_body(beam, xs):
+        tok_all, par_all, t = xs
         active = t < max_len[:, None]  # [B, W]
         start_here = t == (max_len[:, None] - 1)
         # (re)start the chain at the top step of each sequence
         beam = jnp.where(start_here, beam_idx0, beam)
-        tok_t = jnp.take_along_axis(tokens[t], beam, axis=1)
-        par_t = jnp.take_along_axis(parents[t], beam, axis=1)
-        out = out.at[t].set(jnp.where(active, tok_t, end_token))
+        tok_t = take_along_beam(tok_all, beam)
+        par_t = take_along_beam(par_all, beam)
+        out_t = jnp.where(active, tok_t, end_tok)
         beam = jnp.where(active, par_t, beam)
-        return (out, beam), None
+        return beam, out_t
 
-    (out, _), _ = jax.lax.scan(
-        back_body, (out0, beam_idx0), jnp.arange(T)
+    _, out_rev = jax.lax.scan(
+        back_body,
+        beam_idx0,
+        (tokens[::-1], parents[::-1], jnp.arange(T - 1, -1, -1)),
     )
+    out = out_rev[::-1]
 
     # After the first end_token, everything becomes end_token.
-    def fwd_body(found, t):
-        tok = out[t]
-        new_tok = jnp.where(found, end_token, tok)
+    def fwd_body(found, tok):
+        new_tok = jnp.where(found, end_tok, tok)
         found = jnp.logical_or(found, tok == end_token)
         return found, new_tok
 
-    _, cleaned = jax.lax.scan(fwd_body, jnp.zeros((B, W), bool), jnp.arange(T))
+    _, cleaned = jax.lax.scan(fwd_body, jnp.zeros((B, W), bool), out)
     return cleaned
 
 

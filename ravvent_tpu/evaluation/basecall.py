@@ -80,8 +80,8 @@ def _device_event_features(sig, lens, n_ev, hdr1, ovr):
     return feats
 
 
-def _device_snippet_ranges(lens, n_snip, n_rows: int, stride: int,
-                           raw_max_len: int = 200):
+def _device_snippet_ranges(lens, n_snip, n_ev, n_rows: int, stride: int,
+                           raw_max_len: int = 200, max_window: int = 256):
     """Derive the per-snippet event/raw index ranges on device from the
     (patched) event lengths — exact integer reproduction of the host rule
     (ravvent_tpu.data.snippets.compute_fitting_event_ranges /
@@ -91,22 +91,52 @@ def _device_snippet_ranges(lens, n_snip, n_rows: int, stride: int,
     first event's start to the *start* of the last event (quirk).
 
     ``n_rows`` (static) is the slab row count; rows >= ``n_snip`` are zeroed
-    (empty snippets). All arithmetic is integer, so parity with the host is
-    exact given the same lengths.
+    (empty snippets). ``n_ev`` (dynamic) is the real event count: entries of
+    ``lens`` at index >= n_ev are padding and never enter a window (without
+    the cap, the zero-padded cumsum plateau let end-of-read windows run to
+    the padded length instead of n_ev — a host-parity bug). All arithmetic
+    is integer, so parity with the host is exact given the same lengths.
+
+    The end-event search scans ``max_window`` cumsum values per row, built
+    from static strided slices — no gather, no ``searchsorted`` (whose
+    binary-search while loop cost ~10ms per 4k-snippet slab; measured with
+    tools/parse_trace.py). Exact while windows hold < max_window events:
+    events are >= 1 raw sample each (prepare_compact's wire-eligibility
+    guard), so a raw_max_len-sample window holds <= raw_max_len + 1 events.
     """
     E = lens.shape[0]
-    cum = jnp.cumsum(lens)                      # [E] inclusive
-    starts = cum - lens                         # event start offsets
     row = jnp.arange(n_rows, dtype=jnp.int32)
     es = row * stride                           # window's first event
-    es_c = jnp.clip(es, 0, E - 1)
-    offset = jnp.where(es > 0, cum[jnp.maximum(es_c - 1, 0)], 0)
-    ee = jnp.searchsorted(cum, raw_max_len + offset, side="right").astype(
-        jnp.int32)                              # window's end event (excl), <= E
+    cum = jnp.cumsum(lens)                      # [E] inclusive
+    W = max_window
+    # arr[j + 2] = cum[j]; arr[0] = arr[1] = 0 so that w[r, k] = cum[es+k-2]
+    # covers j = es-2 .. es+W-1 (offset needs cum[es-1], r_hi needs
+    # cum[ee-2]). Tail padding is never selected: the fits mask below
+    # excludes event indices >= n_ev.
+    need = (n_rows - 1) * stride + W + 2
+    arr = jnp.concatenate(
+        [jnp.zeros(2, cum.dtype), cum, jnp.zeros(max(need - E - 2, 0), cum.dtype)]
+    )
+    span = (n_rows - 1) * stride + 1
+    w = jnp.stack(
+        [jax.lax.slice(arr, (k,), (k + span,), (stride,)) for k in range(W + 2)],
+        axis=1,
+    )                                           # [n_rows, W+2]
+    offset = w[:, 1]                            # cum[es-1] (0 when es == 0)
+    k = jnp.arange(W, dtype=jnp.int32)[None, :]
+    fits = (w[:, 2:] <= (raw_max_len + offset)[:, None]) & (
+        es[:, None] + k < n_ev
+    )
+    cnt = jnp.sum(fits, axis=1, dtype=jnp.int32)
+    ee = es + cnt                               # window's end event (excl)
+    # r_hi = starts[ee-1] = cum[ee-2] = w[:, cnt] (cnt == 0 edge: host
+    # clips ee-1 to >= 0, giving starts[max(es-1, 0)] — matched by w[:, 0]
+    # when es > 0 and w[:, 0] = 0 = starts[0] when es == 0).
+    kk = jnp.arange(W + 2, dtype=jnp.int32)[None, :]
+    r_hi = jnp.sum(jnp.where(kk == cnt[:, None], w, 0), axis=1, dtype=cum.dtype)
+    r_lo = offset                               # starts[es] = cum[es-1]
     valid = row < n_snip
     er = jnp.stack([jnp.where(valid, es, 0), jnp.where(valid, ee, 0)], axis=1)
-    r_lo = starts[es_c]
-    r_hi = starts[jnp.clip(ee - 1, 0, E - 1)]
     rr = jnp.stack(
         [jnp.where(valid, r_lo, 0), jnp.where(valid, r_hi, 0)], axis=1
     )
@@ -360,7 +390,8 @@ class BasecallEngine:
                 # nothing but the i8 signal and u16 lengths travels.
                 n_snip = jax.lax.bitcast_convert_type(
                     buf[116:120].reshape(1, 4), jnp.int32)[0]
-                rr, er = _device_snippet_ranges(lens, n_snip, n_rows, stride)
+                rr, er = _device_snippet_ranges(
+                    lens, n_snip, n_ev, n_rows, stride)
                 return self._beam_compact_jit(
                     params, sig, rr, events, er, max_steps, beam_width,
                     T_out=T_out)

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ravvent_tpu.decode.beam import BeamResult, _gather_tree
+from ravvent_tpu.decode.beam import BeamResult, _gather_tree, take_along_beam
 from ravvent_tpu.models import attention as attn
 from ravvent_tpu.ops.decode_step_pallas import pack_decoder_weights
 
@@ -630,8 +630,8 @@ def _reconstruct_lengths(tokens, parents, end_token):
     def body(carry, ts):
         lengths, finished = carry
         tok, par = ts
-        pl_ = jnp.take_along_axis(lengths, par, axis=1)
-        pf = jnp.take_along_axis(finished, par, axis=1)
+        pl_ = take_along_beam(lengths, par)
+        pf = take_along_beam(finished, par)
         nl = pl_ + (~pf).astype(jnp.int32)
         nf = jnp.logical_or(pf, tok == end_token)
         return (nl, nf), nl

@@ -182,14 +182,27 @@ def test_device_snippet_ranges_match_host(tmp_path):
     N = rr.shape[0]
     lo_s = int(rr[0, 0])
     n_rows = ((N + 63) // 64) * 64
+    E = aux["ev_lens"].shape[0]
     rr_d, er_d = _device_snippet_ranges(
         jnp.asarray(aux["ev_lens"].astype(np.int32)),
-        jnp.int32(N), n_rows, int(aux["stride"]),
+        jnp.int32(N), jnp.int32(E), n_rows, int(aux["stride"]),
     )
     rr_d, er_d = np.asarray(rr_d), np.asarray(er_d)
     np.testing.assert_array_equal(er_d[:N], er)
     np.testing.assert_array_equal(rr_d[:N], rr - lo_s)
     assert (rr_d[N:] == 0).all() and (er_d[N:] == 0).all()
+
+    # The packed wire zero-pads the length section: results must be
+    # identical with a padded tail (end-of-read windows must stop at n_ev,
+    # not run into the padding — regression for the cumsum-plateau bug).
+    lens_pad = np.zeros(E + 300, np.int32)
+    lens_pad[:E] = aux["ev_lens"]
+    rr_p, er_p = _device_snippet_ranges(
+        jnp.asarray(lens_pad), jnp.int32(N), jnp.int32(E), n_rows,
+        int(aux["stride"]),
+    )
+    np.testing.assert_array_equal(np.asarray(er_p), er_d)
+    np.testing.assert_array_equal(np.asarray(rr_p), rr_d)
 
 
 def test_prob_bits4_fetch_matches_baseline(tmp_path):
