@@ -15,7 +15,7 @@ prediction over a read's snippets. TPU-first design decisions:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,15 @@ from ravvent_tpu.decode.greedy import greedy_decode
 from ravvent_tpu.models import attention as attn
 from ravvent_tpu.models.basecaller import encode_input
 from ravvent_tpu.tokenizer import NUC_TOKENIZER
+
+
+class PendingBeamCompact(NamedTuple):
+    """In-flight read: device result handles from ``dispatch_beam_compact``
+    (fetches already started via ``copy_to_host_async``), materialized by
+    ``collect_beam_compact``."""
+
+    pending: list  # [(device array or (tokens, probs) pair, n_rows), ...]
+    T_fetch: int
 
 
 def _device_event_features(sig, lens, n_ev, hdr1, ovr):
@@ -485,6 +494,29 @@ class BasecallEngine:
         (see ravvent_tpu.data.snippets.prepare_compact). Shapes are padded to
         buckets to bound recompilation. The "i8dev" wire format needs ``aux``
         from :func:`ravvent_tpu.data.snippets.load_read_compact_ex`."""
+        return self.collect_beam_compact(
+            self.dispatch_beam_compact(
+                signal, raw_ranges, events, event_ranges, max_output_len,
+                beam_width, aux=aux,
+            )
+        )
+
+    def dispatch_beam_compact(
+        self,
+        signal: np.ndarray,
+        raw_ranges: np.ndarray,
+        events: np.ndarray,
+        event_ranges: np.ndarray,
+        max_output_len: int,
+        beam_width: int = 5,
+        aux: Optional[dict] = None,
+    ) -> "PendingBeamCompact":
+        """Upload + enqueue all of a read's slabs WITHOUT materializing the
+        results — pair with :meth:`collect_beam_compact`. Splitting dispatch
+        from collection lets callers pipeline reads: while read k computes on
+        the device, read k-1's results are fetched/merged and read k+1 is
+        loaded (the per-message link latency and host merge then overlap
+        device compute instead of serializing after it)."""
         if self.transport_dtype == "i8dev":
             assert aux is not None and aux.get("contiguous"), (
                 "transport_dtype='i8dev' requires the aux dict from "
@@ -492,9 +524,7 @@ class BasecallEngine:
             )
         N = raw_ranges.shape[0]
         if N == 0:
-            return np.zeros((0, self.total_steps), np.int64), np.zeros(
-                (0, self.total_steps), np.float32
-            )
+            return PendingBeamCompact([], self.total_steps)
         # Ranges may extend past the arrays (stream-coordinate quirk); python
         # slicing in the materialized path clips silently — replicate that.
         raw_ranges = np.minimum(raw_ranges, signal.shape[0])
@@ -653,7 +683,16 @@ class BasecallEngine:
             # (async copy: overlap this slab's fetch with the next's work)
             packed.copy_to_host_async()
             pending.append((packed, n))
-        T = T_fetch
+        return PendingBeamCompact(pending, T_fetch)
+
+    def collect_beam_compact(
+        self, handle: "PendingBeamCompact"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Materialize a :meth:`dispatch_beam_compact` handle: blocks on the
+        device→host copies and unpacks the wire bytes."""
+        pending, T = handle.pending, handle.T_fetch
+        if not pending:
+            return np.zeros((0, T), np.int64), np.zeros((0, T), np.float32)
         toks, prbs = [], []
         for packed, n in pending:
             arr = np.asarray(packed)[:n]

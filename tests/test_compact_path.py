@@ -224,3 +224,40 @@ def test_prob_bits4_fetch_matches_baseline(tmp_path):
     t2, p2 = packed.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
     np.testing.assert_array_equal(t1, t2)
     assert np.abs(np.clip(p1, 0, 1) - p2).max() <= 0.5 / 15 + 5e-3
+
+
+def test_pipelined_evaluator_runs_and_counts(tmp_path):
+    """run_pipelined overlaps reads via dispatch/collect; outputs (merged
+    sequences) must match the sequential path, and the aggregate record must
+    count every read's bases/samples."""
+    from ravvent_tpu.evaluation.performance import PerformanceEvaluator
+
+    rng = np.random.default_rng(21)
+    genome = simulator.random_genome(2000, rng)
+    paths = []
+    total_bases = 0
+    for i in range(3):
+        sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+        sp, lp = tmp_path / f"r{i}.signal", tmp_path / f"r{i}.label"
+        chiron.write_read(sp, lp, sig, ranges, genome)
+        paths.append(str(sp))
+        total_bases += len(genome)
+
+    cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    engine = BasecallEngine(params, cfg, chunk_size=64)
+
+    # dispatch/collect split must equal the one-shot call
+    sigc, rr, ev, er, nuc = load_read_compact(paths[0], tmp_path / "r0.label", stride=6)
+    max_len = int((nuc != 0).sum(axis=1).max())
+    t1, p1 = engine.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    h = engine.dispatch_beam_compact(sigc, rr, ev, er, max_len, 3)
+    t2, p2 = engine.collect_beam_compact(h)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(p1, p2)
+
+    pe = PerformanceEvaluator(engine, beam_width=3, cache_dir=str(tmp_path / "c"))
+    rec = pe.run_pipelined(paths, inflight=2)
+    assert rec["pipelined"] and rec["reads"] == 3
+    assert rec["bases_num"] == total_bases
+    assert rec["samples_num"] > 0 and rec["bases_per_s"] > 0
