@@ -121,16 +121,25 @@ class PerformanceEvaluator:
 
         bases_num = samples_num = 0
         queue = deque()  # (handle, path)
+        stages = {"load": 0.0, "dispatch": 0.0, "collect_wait": 0.0,
+                  "postproc": 0.0, "merge": 0.0}
         start_all = timer()
 
         def finish_one():
             handle, path = queue.popleft()
+            t0 = timer()
             tokens, probs = self.engine.collect_beam_compact(handle)
+            t1 = timer()
+            stages["collect_wait"] += t1 - t0
             if tokens.shape[0]:
                 blob, offsets, flat_probs = self._postprocess(tokens, probs)
+                t2 = timer()
+                stages["postproc"] += t2 - t1
                 self.merger.merge_flat(blob, offsets, flat_probs)
+                stages["merge"] += timer() - t2
 
         for path in signal_paths:
+            t0 = timer()
             label_path = Path(path).with_suffix(".label")
             ranges, syms = chiron.load_label(label_path)
             bases_num += len(syms)
@@ -139,9 +148,12 @@ class PerformanceEvaluator:
                 path, label_path, self.stride, cache_dir=self.cache_dir
             )
             max_output_len = int((nuc != 0).sum(axis=1).max()) if rr.shape[0] else 2
+            t1 = timer()
+            stages["load"] += t1 - t0
             handle = self.engine.dispatch_beam_compact(
                 sig, rr, ev, er, max_output_len, self.beam_width, aux=aux
             )
+            stages["dispatch"] += timer() - t1
             queue.append((handle, path))
             while len(queue) > inflight:
                 finish_one()
@@ -158,6 +170,9 @@ class PerformanceEvaluator:
             "wall_s": wall,
             "bases_per_s": bases_num / wall if wall else 0.0,
             "samples_per_s": samples_num / wall if wall else 0.0,
+            # host-side stage totals: wall - sum(stages) = overlap headroom;
+            # collect_wait is the time the host sat blocked on the device
+            "stages_s": {k: round(v, 5) for k, v in stages.items()},
         }
 
     @staticmethod

@@ -261,3 +261,26 @@ def test_pipelined_evaluator_runs_and_counts(tmp_path):
     assert rec["pipelined"] and rec["reads"] == 3
     assert rec["bases_num"] == total_bases
     assert rec["samples_num"] > 0 and rec["bases_per_s"] > 0
+
+
+def test_gather_rows_matches_naive():
+    """gather_rows (block gather + shift tree) must equal the naive
+    clip-and-mask gather bit-for-bit, including rows that run past the
+    source end and zero-length rows."""
+    from ravvent_tpu.ops.gather_rows import gather_rows
+
+    rng = np.random.default_rng(3)
+    for S, N, L in [(5000, 64, 200), (997, 16, 150), (300, 8, 30)]:
+        src = rng.normal(size=S).astype(np.float32)
+        starts = rng.integers(0, S, N)
+        starts[0] = 0
+        starts[-1] = S - 1  # runs past the end
+        lens = rng.integers(0, L + 1, N)
+        lens[1] = 0
+        out = np.asarray(gather_rows(
+            jnp.asarray(src), jnp.asarray(starts), jnp.asarray(lens), L))
+        srcp = np.pad(src, (0, L + 128))
+        ref = np.zeros((N, L), np.float32)
+        for n in range(N):
+            ref[n, :lens[n]] = srcp[starts[n]:starts[n] + lens[n]]
+        np.testing.assert_array_equal(out, ref)
