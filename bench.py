@@ -95,7 +95,7 @@ def load_flagship():
 
 
 def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool = True,
-              memory: str = "i8", project_values: bool = False,
+              memory: str = "bf16", project_values: bool = False,
               beam_impl: str = "xla", bf16_encoder: bool = True,
               pack_u8: bool = True, trace_dir: str | None = None,
               transport: str = "f16", prob_bits: int = 4):
@@ -216,10 +216,12 @@ def main():
                     choices=["xla", "loop", "step"],
                     help="beam decode implementation (pallas kernels on TPU)")
     ap.add_argument("--no-identity", action="store_true")
-    ap.add_argument("--memory", default="i8", choices=["bf16", "i8", "f32"],
+    ap.add_argument("--memory", default="bf16", choices=["bf16", "i8", "f32"],
                     help="attention memory storage: bf16 halves decode HBM traffic "
-                         "(~0.1pt identity), i8 halves it again (per-position "
-                         "scales; measured identity-neutral vs bf16)")
+                         "(~0.1pt identity) — the default: the step kernel is "
+                         "streaming-bound at bf16 and i8's mixed-precision dot "
+                         "converts in-kernel, losing what the bytes save while "
+                         "paying a ~3ms/slab quantization setup")
     ap.add_argument("--project-values", action=argparse.BooleanOptionalAction, default=True,
                     help="pre-project attention values (equivalent math, less traffic)")
     ap.add_argument("--bf16-encoder", action=argparse.BooleanOptionalAction, default=True,

@@ -579,8 +579,11 @@ def beam_step_decode(
     large batch where memory residency would over-serialize.
 
     ``b_tile=None`` picks the largest batch tile whose double-buffered
-    keys/values blocks fit the scoped-VMEM stack (measured ~1ms/slab faster
-    at 64 than 32 for the flagship shape; 128 exceeds VMEM)."""
+    keys/values blocks fit the scoped-VMEM stack (device sweep, flagship
+    slab [3072, 232, 128] x 32 steps: bf16 bt64 16.37ms < bf16 bt32 17.51ms
+    < i8 bt64 17.79ms — the kernel is HBM-streaming bound at bf16 and the
+    mixed-precision i8 dot converts in-kernel, eating the bytes saved;
+    bt128 exceeds VMEM for both)."""
     assert mem.projected, "beam_step_decode requires pre-projected memory"
     B, S = mem.mask.shape
     if b_tile is None:
@@ -588,7 +591,7 @@ def beam_step_decode(
         isz = mem.keys.dtype.itemsize
         b_tile = 8
         for bt in (64, 32, 16):
-            if B % bt == 0 and 2 * 2 * bt * S * U * isz <= 14 * 1024 * 1024:
+            if B % bt == 0 and 2 * 2 * bt * S * U * isz <= 16 * 1024 * 1024:
                 b_tile = bt
                 break
     assert B % b_tile == 0 and S % 8 == 0
