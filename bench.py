@@ -109,7 +109,8 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
     cfg, params, trained = load_flagship()
     if beam_impl != "xla" and jax.default_backend() not in ("tpu", "axon"):
         beam_impl = "xla"  # pallas kernels target TPU; CPU baseline stays XLA
-    mem_dtype = {"bf16": jnp.bfloat16, "i8": "i8", "f32": None}[memory]
+    mem_dtype = {"bf16": jnp.bfloat16, "i8": "i8", "i8mxu": "i8mxu",
+                 "f32": None}[memory]
     engine = BasecallEngine(
         params, cfg, chunk_size=chunk_size,
         memory_dtype=mem_dtype,
@@ -216,7 +217,8 @@ def main():
                     choices=["xla", "loop", "step"],
                     help="beam decode implementation (pallas kernels on TPU)")
     ap.add_argument("--no-identity", action="store_true")
-    ap.add_argument("--memory", default="bf16", choices=["bf16", "i8", "f32"],
+    ap.add_argument("--memory", default="bf16",
+                    choices=["bf16", "i8", "i8mxu", "f32"],
                     help="attention memory storage: bf16 halves decode HBM traffic "
                          "(~0.1pt identity) — the default: the step kernel is "
                          "streaming-bound at bf16 and i8's mixed-precision dot "

@@ -205,10 +205,13 @@ class BasecallEngine:
         self.cfg = cfg
         self.chunk_size = chunk_size
         self.total_steps = total_steps
-        if isinstance(memory_dtype, str) and memory_dtype == "i8":
-            # int8 memory is only understood by the fused per-step kernel
-            assert beam_impl == "step", "memory_dtype='i8' requires beam_impl='step'"
-        self.memory_dtype = memory_dtype
+        if isinstance(memory_dtype, str) and memory_dtype in ("i8", "i8mxu"):
+            # int8 memory is only understood by the fused per-step kernel;
+            # "i8mxu" additionally runs the score/context dots natively in
+            # s8 x s8 -> s32 on the MXU (no in-kernel dequant convert)
+            assert beam_impl == "step", "int8 memory requires beam_impl='step'"
+        self.quant_mxu = memory_dtype == "i8mxu"
+        self.memory_dtype = "i8" if self.quant_mxu else memory_dtype
         if use_fused_beam and beam_impl == "xla":
             beam_impl = "loop"
         assert beam_impl in ("xla", "loop", "step")
@@ -255,13 +258,16 @@ class BasecallEngine:
                 enc_out = jnp.pad(enc_out, ((0, 0), (0, S_p - S), (0, 0)))
                 mask = jnp.pad(mask, ((0, 0), (0, S_p - S)))
                 mem = _setup(params, enc_out, mask)
-                decode_fn = (
-                    beam_step_decode if self.beam_impl == "step" else beam_loop_decode
-                )
-                res = decode_fn(
-                    params["decoder"], mem, mcfg.vocab_size, beam_width,
-                    self.total_steps, max_steps,
-                )
+                if self.beam_impl == "step":
+                    res = beam_step_decode(
+                        params["decoder"], mem, mcfg.vocab_size, beam_width,
+                        self.total_steps, max_steps, quant_mxu=self.quant_mxu,
+                    )
+                else:
+                    res = beam_loop_decode(
+                        params["decoder"], mem, mcfg.vocab_size, beam_width,
+                        self.total_steps, max_steps,
+                    )
             else:
                 mem = _setup(params, enc_out, mask)
                 res = beam_decode(

@@ -346,6 +346,7 @@ def _beam_step_kernel(
     vocab: int,
     end_token: int,
     quant: bool,
+    quant_mxu: bool = False,
 ):
     BT, S, U = keys_ref.shape
     VP = wfc_ref.shape[1]
@@ -374,26 +375,54 @@ def _beam_step_kernel(
     # with the contractions over U, so folding kscale into the scores and
     # vscale into the alignment is exact dequantization at W- instead of
     # U-sized elementwise cost.
-    kdt = jnp.bfloat16 if quant else keys_ref.dtype
-    scores = jax.lax.dot_general(
-        hw.astype(kdt), keys_ref[:].astype(kdt),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if quant:
+    if quant and quant_mxu:
+        # Native s8 x s8 -> s32 MXU dots: the memory stays int8 end-to-end
+        # (half the per-step HBM streaming, no U-sized in-kernel convert —
+        # the dequant path's convert eats what its bytes save). The query
+        # side quantizes exactly: h = o*tanh(c) is bounded to (-1, 1), so a
+        # FIXED 127 scale loses < 0.4% — below the key-quantization noise
+        # already accepted by the i8 memory mode.
+        hq = jnp.round(hw * 127.0).astype(jnp.int8)
+        scores = jax.lax.dot_general(
+            hq, keys_ref[:],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (1.0 / 127.0)
         scores = scores * kscale_ref[:][:, None, :]
+    else:
+        kdt = jnp.bfloat16 if quant else keys_ref.dtype
+        scores = jax.lax.dot_general(
+            hw.astype(kdt), keys_ref[:].astype(kdt),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if quant:
+            scores = scores * kscale_ref[:][:, None, :]
     scores = jnp.where(mask_ref[:][:, None, :] > 0.5, scores, NEG_INF)
     m = jnp.max(scores, axis=2, keepdims=True)
     e = jnp.exp(scores - m)
     align = e / jnp.sum(e, axis=2, keepdims=True)
-    if quant:
-        align = align * vscale_ref[:][:, None, :]
-    vdt = jnp.bfloat16 if quant else values_ref.dtype
-    context = jax.lax.dot_general(
-        align.astype(vdt), values_ref[:].astype(vdt),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    if quant and quant_mxu:
+        # Fold the per-position value scales into the alignment (exact),
+        # then quantize the folded row with a dynamic per-(row, beam)
+        # max-abs scale so the value dot also runs s8 x s8 on the MXU.
+        af = align * vscale_ref[:][:, None, :]
+        amax = jnp.maximum(jnp.max(af, axis=2, keepdims=True), 1e-30)
+        aq = jnp.round(af * (127.0 / amax)).astype(jnp.int8)
+        context = jax.lax.dot_general(
+            aq, values_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (amax / 127.0)
+    else:
+        if quant:
+            align = align * vscale_ref[:][:, None, :]
+        vdt = jnp.bfloat16 if quant else values_ref.dtype
+        context = jax.lax.dot_general(
+            align.astype(vdt), values_ref[:].astype(vdt),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
     att_new = (
         jnp.dot(h_new, watth_ref[:], preferred_element_type=jnp.float32)
         + context.reshape(BW, U)
@@ -461,12 +490,14 @@ def _beam_step_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("vocab", "total_steps", "beam_width", "b_tile",
-                     "start_token", "end_token", "interpret", "quant"),
+                     "start_token", "end_token", "interpret", "quant",
+                     "quant_mxu"),
 )
 def _beam_step_scan(
     weights, watt_h, keys, values, kscale, vscale, maskf, max_steps,
     vocab: int, total_steps: int, beam_width: int, b_tile: int,
     start_token: int, end_token: int, interpret: bool, quant: bool,
+    quant_mxu: bool = False,
 ):
     B, S, U = keys.shape
     W = beam_width
@@ -477,6 +508,7 @@ def _beam_step_scan(
 
     kernel = functools.partial(
         _beam_step_kernel, W=W, vocab=vocab, end_token=end_token, quant=quant,
+        quant_mxu=quant_mxu,
     )
     bt = lambda *shape: pl.BlockSpec(shape, lambda ib: (ib,) + (0,) * (len(shape) - 1),
                                      memory_space=pltpu.VMEM)
@@ -573,6 +605,7 @@ def beam_step_decode(
     start_token: int = 2,
     end_token: int = 1,
     interpret: bool = False,
+    quant_mxu: bool = False,
 ) -> BeamResult:
     """Per-step fused beam search (scan outside, fused kernel per step).
     Same semantics/requirements as :func:`beam_loop_decode`; preferred at
@@ -615,6 +648,7 @@ def beam_step_decode(
         jnp.asarray(max_steps, jnp.int32),
         vocab_size, total_steps, beam_width, b_tile,
         start_token, end_token, interpret, quant,
+        quant_mxu and quant,
     )
     eff_T = jnp.minimum(jnp.asarray(max_steps, jnp.int32), total_steps)
     lengths = _reconstruct_lengths(tokens, parents, end_token)

@@ -81,3 +81,15 @@ def test_beam_step_i8_memory_close_to_f32():
     agree = (np.asarray(ref.tokens[:, :, 0]) == np.asarray(q.tokens[:, :, 0]))
     assert agree.all(axis=1).mean() >= 0.75
     assert np.abs(np.asarray(ref.scores[:, :, 0]) - np.asarray(q.scores[:, :, 0])).max() < 0.5
+
+    # native-MXU int8 dots (fixed 127 query scale + per-row align scale):
+    # same tolerance class as the dequant path
+    qm = beam_step_decode(
+        params["decoder"], mem_i8, 7, 5, 12, 12, b_tile=8, interpret=True,
+        quant_mxu=True,
+    )
+    agree_m = (np.asarray(ref.tokens[:, :, 0]) == np.asarray(qm.tokens[:, :, 0]))
+    assert agree_m.all(axis=1).mean() >= 0.75
+    assert np.abs(
+        np.asarray(ref.scores[:, :, 0]) - np.asarray(qm.scores[:, :, 0])
+    ).max() < 0.5

@@ -34,7 +34,8 @@ import numpy as np  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--beam-impl", default="step", choices=["xla", "loop", "step"])
-    ap.add_argument("--memory", default="bf16", choices=["bf16", "i8", "f32"])
+    ap.add_argument("--memory", default="bf16",
+                    choices=["bf16", "i8", "i8mxu", "f32"])
     ap.add_argument("--transport", default="f16",
                     choices=["f16", "f32", "i8", "i8sig", "i8dev"])
     ap.add_argument("--beam", type=int, default=5)
@@ -52,7 +53,8 @@ def main() -> None:
     from ravvent_tpu.data.snippets import load_read_compact_ex
     from ravvent_tpu.evaluation.basecall import BasecallEngine
 
-    mem = {"bf16": jnp.bfloat16, "i8": "i8", "f32": None}[args.memory]
+    mem = {"bf16": jnp.bfloat16, "i8": "i8", "i8mxu": "i8mxu",
+           "f32": None}[args.memory]
     eng = BasecallEngine(
         params, cfg, chunk_size=args.chunk, memory_dtype=mem,
         project_values=True, beam_impl=args.beam_impl,
