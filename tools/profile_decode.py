@@ -94,12 +94,17 @@ def main() -> None:
     # end-to-end (what t_predicting measures)
     e2e = best(lambda: eng.predict_beam_compact(sig, rr, ev, er, mol, args.beam, aux=aux))
 
-    # host pack only: no-op device call
+    # host pack only: no-op device call (the engine calls
+    # copy_to_host_async() on the result before materializing it)
+    class FakeBuf(np.ndarray):
+        def copy_to_host_async(self):
+            pass
+
     class Fake:
         def __call__(self, *a, **k):
             return out_arr
 
-    out_arr = np.zeros_like(np.asarray(real(*calls[0][0], **calls[0][1])))
+    out_arr = np.zeros_like(np.asarray(real(*calls[0][0], **calls[0][1]))).view(FakeBuf)
     eng._beam_compact_packed_jit = Fake()
     host = best(lambda: eng.predict_beam_compact(sig, rr, ev, er, mol, args.beam, aux=aux))
     eng._beam_compact_packed_jit = real
@@ -118,7 +123,7 @@ def main() -> None:
 
     print(f"host pack+unpack : {host:8.1f} ms")
     print(f"H2D upload       : {tot_up:8.1f} ms "
-          f"({sum(a[1].nbytes for a in calls)} bytes)")
+          f"({sum(a[1].nbytes for a, _ in calls)} bytes)")
     print(f"device compute   : {tot_comp:8.1f} ms (resident args)")
     print(f"D2H fetch        : {max(tot_fetch, 0.0):8.1f} ms "
           f"({sum(np.asarray(real(*a, **k)).nbytes for a, k in calls)} bytes)")
