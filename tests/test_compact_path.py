@@ -257,7 +257,32 @@ def test_pipelined_evaluator_runs_and_counts(tmp_path):
     np.testing.assert_array_equal(p1, p2)
 
     pe = PerformanceEvaluator(engine, beam_width=3, cache_dir=str(tmp_path / "c"))
+
+    # capture each read's merged sequence from both paths: overlapped
+    # execution must not change what comes out of the merge fold
+    def capturing(store):
+        orig = pe.merger.merge_flat
+
+        def wrapped(*a, **k):
+            out = orig(*a, **k)
+            store.append(out.seq)
+            return out
+
+        return orig, wrapped
+
+    seq_sequential = []
+    orig, pe.merger.merge_flat = capturing(seq_sequential)
+    for p in paths:
+        pe.run(p)
+    pe.merger.merge_flat = orig
+
+    seq_pipelined = []
+    orig, pe.merger.merge_flat = capturing(seq_pipelined)
     rec = pe.run_pipelined(paths, inflight=2)
+    pe.merger.merge_flat = orig
+
+    # finisher threads complete out of order; compare as multisets
+    assert sorted(seq_pipelined) == sorted(seq_sequential)
     assert rec["pipelined"] and rec["reads"] == 3
     assert rec["bases_num"] == total_bases
     assert rec["samples_num"] > 0 and rec["bases_per_s"] > 0
