@@ -259,16 +259,19 @@ long rv_local_align(const char* s1, long n, const char* s2, long m,
   return pos;
 }
 
-// ---------------------------------------------------------------------------
+}  // extern "C"
+
+namespace {
+
 // Banded global alignment (Gotoh affine, pairwise2 gap convention) with
-// traceback-based (matches, columns) counting — the built-in identity
-// metric used when minimap2 is unavailable.
+// traceback-based (matches, columns) counting. Core shared by the
+// whole-read identity fallback (rv_banded_global) and the seed-chain-extend
+// mapper's per-chain extension (rv_map_read).
 // Returns 1 on success (path stayed representable), 0 on failure.
-// ---------------------------------------------------------------------------
-int rv_banded_global(const char* q, long n, const char* r, long m,
-                     double match, double mismatch,
-                     double gap_open, double gap_extend, long band,
-                     long* matches_out, long* cols_out, double* score_out) {
+int banded_global_core(const char* q, long n, const char* r, long m,
+                       double match, double mismatch,
+                       double gap_open, double gap_extend, long band,
+                       long* matches_out, long* cols_out, double* score_out) {
   if (n == 0 || m == 0) {
     *matches_out = 0; *cols_out = std::max(n, m); *score_out = 0.0;
     return 1;
@@ -390,6 +393,22 @@ int rv_banded_global(const char* q, long n, const char* r, long m,
   *matches_out = matches;
   *cols_out = cols;
   return 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Banded global alignment — the built-in whole-read identity metric used
+// when minimap2 is unavailable (thin wrapper over banded_global_core).
+// ---------------------------------------------------------------------------
+int rv_banded_global(const char* q, long n, const char* r, long m,
+                     double match, double mismatch,
+                     double gap_open, double gap_extend, long band,
+                     long* matches_out, long* cols_out, double* score_out) {
+  return banded_global_core(q, n, r, m, match, mismatch, gap_open, gap_extend,
+                            band, matches_out, cols_out, score_out);
 }
 
 }  // extern "C"

@@ -17,8 +17,9 @@ distinct 6-mers appearing.
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass, asdict
 from pathlib import Path
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -26,12 +27,59 @@ BASES = np.array(list("ACGT"))
 KMER = 6
 
 
-class PoreModel:
-    """Deterministic 6-mer -> current-level model (seeded)."""
+@dataclass(frozen=True)
+class SimProfile:
+    """Signal-realism knobs (DeepSimulator's role in the reference pipeline,
+    reference: data/generate_simulator_reduced.py:75-77).
 
-    def __init__(self, seed: int = 1234, level_mean: float = 550.0, level_spread: float = 60.0):
+    The ``clean`` profile reproduces the round-1 simulator exactly (ideal
+    step levels + white noise); ``realistic`` adds the physical effects that
+    make real nanopore signal hard — per-kmer noise spread, per-event level
+    jitter, low-pass-filtered level transitions, dwell-time outliers,
+    near-skipped bases, and slow baseline drift — so accuracy numbers are
+    earned on degraded signal rather than on an idealized one.
+    """
+
+    name: str = "realistic"
+    dwell_mean: float = 9.0
+    dwell_min: int = 2
+    dwell_max: int = 40
+    noise_std: float = 9.0           # white-noise floor (DAC units)
+    kmer_noise_sigma: float = 0.35   # lognormal sigma of per-kmer noise scale
+    level_jitter: float = 4.0        # per-event level re-draw stdv (DAC)
+    filter_alpha: float = 0.35       # one-pole low-pass coeff (1 = no filter)
+    stall_prob: float = 0.01         # long-dwell outlier probability
+    stall_scale: float = 4.0         # dwell multiplier for stalls
+    skip_prob: float = 0.03          # base emits a single sample ("skip")
+    drift_std: float = 6.0           # slow baseline wander amplitude (DAC)
+    drift_step: int = 2000           # drift random-walk knot spacing (samples)
+
+
+CLEAN = SimProfile(
+    name="clean", dwell_min=4, kmer_noise_sigma=0.0, level_jitter=0.0,
+    filter_alpha=1.0, stall_prob=0.0, skip_prob=0.0, drift_std=0.0,
+)
+REALISTIC = SimProfile()
+
+PROFILES = {"clean": CLEAN, "realistic": REALISTIC}
+
+
+class PoreModel:
+    """Deterministic 6-mer -> (current level, noise scale) model (seeded).
+
+    Per-kmer noise scales play DeepSimulator's per-kmer stdv table: some
+    contexts are intrinsically noisier than others, so noise is
+    level-context-dependent rather than white across the read.
+    """
+
+    def __init__(self, seed: int = 1234, level_mean: float = 550.0, level_spread: float = 60.0,
+                 kmer_noise_sigma: float = 0.35):
         rng = np.random.default_rng(seed)
         self.levels = rng.normal(level_mean, level_spread, size=4**KMER)
+        if kmer_noise_sigma > 0:
+            self.noise_scales = rng.lognormal(0.0, kmer_noise_sigma, size=4**KMER)
+        else:
+            self.noise_scales = np.ones(4**KMER)
 
     @staticmethod
     def kmer_ids(seq_ids: np.ndarray) -> np.ndarray:
@@ -48,6 +96,10 @@ class PoreModel:
         seq_ids = encode_bases(seq)
         return self.levels[self.kmer_ids(seq_ids)]
 
+    def base_noise_scales(self, seq: str) -> np.ndarray:
+        seq_ids = encode_bases(seq)
+        return self.noise_scales[self.kmer_ids(seq_ids)]
+
 
 def encode_bases(seq: str) -> np.ndarray:
     lut = np.full(128, -1, dtype=np.int64)
@@ -60,6 +112,20 @@ def encode_bases(seq: str) -> np.ndarray:
     return ids
 
 
+def _lowpass(x: np.ndarray, alpha: float) -> np.ndarray:
+    """One-pole low-pass (FIR-truncated exponential kernel): the amplifier
+    response that smears level transitions in real nanopore signal. alpha=1
+    is a passthrough; smaller alpha = stronger smoothing."""
+    if alpha >= 1.0:
+        return x
+    n_taps = int(np.ceil(np.log(1e-3) / np.log(1.0 - alpha))) + 1
+    k = alpha * (1.0 - alpha) ** np.arange(n_taps)
+    k /= k.sum()
+    # pad left with the first level so the read start isn't a step from 0
+    xp = np.concatenate((np.full(n_taps - 1, x[0]), x))
+    return np.convolve(xp, k, mode="valid")
+
+
 def simulate_read(
     seq: str,
     rng: np.random.Generator,
@@ -68,22 +134,68 @@ def simulate_read(
     dwell_min: int = 4,
     dwell_max: int = 40,
     noise_std: float = 9.0,
+    profile: Optional[SimProfile] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Simulate raw signal for ``seq``.
 
     Returns (signal int array, ranges [len(seq), 2]) where ranges are the
-    chiron label [start, end) raw-sample spans per base.
+    chiron label [start, end) raw-sample spans per base. With a ``profile``
+    the explicit dwell/noise args are taken from it; without one the
+    round-1 clean behavior is preserved (callers passing only noise_std).
     """
     n = len(seq)
+    if profile is not None:
+        dwell_mean, dwell_min, dwell_max = (
+            profile.dwell_mean, profile.dwell_min, profile.dwell_max)
+        noise_std = profile.noise_std
+    else:
+        profile = SimProfile(
+            name="legacy", dwell_mean=dwell_mean, dwell_min=dwell_min,
+            dwell_max=dwell_max, noise_std=noise_std, kmer_noise_sigma=0.0,
+            level_jitter=0.0, filter_alpha=1.0, stall_prob=0.0, skip_prob=0.0,
+            drift_std=0.0,
+        )
+
     levels = pore.base_levels(seq)
+    if profile.level_jitter > 0:
+        # each traversal of a context sits at a slightly different level
+        levels = levels + rng.normal(0.0, profile.level_jitter, n)
+
     dwells = np.clip(
         np.round(rng.exponential(dwell_mean - dwell_min, n) + dwell_min),
         dwell_min,
         dwell_max,
     ).astype(np.int64)
+    if profile.stall_prob > 0:
+        stall = rng.random(n) < profile.stall_prob
+        dwells = np.where(stall, np.minimum(
+            (dwells * profile.stall_scale).astype(np.int64), 4 * dwell_max),
+            dwells)
+    if profile.skip_prob > 0:
+        # a "skipped" base translocates too fast to resolve: one sample only
+        # (the label keeps the base, so the model must learn through it)
+        skipped = rng.random(n) < profile.skip_prob
+        dwells = np.where(skipped, 1, dwells)
+
     ends = np.cumsum(dwells)
     starts = ends - dwells
-    signal = np.repeat(levels, dwells) + rng.normal(0.0, noise_std, int(ends[-1]))
+    total = int(ends[-1])
+
+    trace = np.repeat(levels, dwells)
+    trace = _lowpass(trace, profile.filter_alpha)
+
+    noise_scale = np.repeat(pore.base_noise_scales(seq), dwells) \
+        if profile.kmer_noise_sigma > 0 else 1.0
+    signal = trace + rng.normal(0.0, 1.0, total) * (noise_std * noise_scale)
+
+    if profile.drift_std > 0:
+        # slow baseline wander: random-walk knots, linearly interpolated
+        n_knots = max(2, total // profile.drift_step + 2)
+        knots = np.cumsum(rng.normal(0.0, 1.0, n_knots))
+        knots = (knots - knots.mean()) * (profile.drift_std / max(knots.std(), 1e-9))
+        xs = np.linspace(0, total - 1, n_knots)
+        signal = signal + np.interp(np.arange(total), xs, knots)
+
     return np.round(signal).astype(np.int64), np.column_stack((starts, ends))
 
 
@@ -152,22 +264,29 @@ def generate_chiron_dataset(
     pore_seed: int = 1234,
     noise_std: float = 9.0,
     prefix: str = "read",
+    profile: Optional[SimProfile] = None,
 ) -> List[Tuple[Path, Path]]:
     """Sample reads from ``genome`` and write chiron ``.signal``/``.label``
     pairs (the format the whole pipeline consumes,
-    reference: data/generate_simulated_from_chiron.py:43-73)."""
+    reference: data/generate_simulated_from_chiron.py:43-73). ``profile``
+    selects the signal-realism model (see :class:`SimProfile`); None keeps
+    the round-1 clean signal with the given ``noise_std``."""
     from ravvent_tpu.data import chiron
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
-    pore = PoreModel(seed=pore_seed)
+    pore = PoreModel(
+        seed=pore_seed,
+        kmer_noise_sigma=profile.kmer_noise_sigma if profile else 0.0,
+    )
     pairs = []
     for r in range(n_reads):
         rl = int(rng.integers(read_len_range[0], read_len_range[1] + 1))
         start = int(rng.integers(0, max(1, len(genome) - rl)))
         seq = genome[start : start + rl]
-        signal, ranges = simulate_read(seq, rng, pore, noise_std=noise_std)
+        signal, ranges = simulate_read(seq, rng, pore, noise_std=noise_std,
+                                       profile=profile)
         sp = out / f"{prefix}_{r:04d}.signal"
         lp = out / f"{prefix}_{r:04d}.label"
         chiron.write_read(sp, lp, signal, ranges, seq)
@@ -179,6 +298,7 @@ def generate_chiron_dataset(
         "seed": seed,
         "pore_seed": pore_seed,
         "noise_std": noise_std,
+        "profile": asdict(profile) if profile else None,
     }
     with open(out / "dataset_meta.json", "wt") as f:
         json.dump(meta, f, indent=2)

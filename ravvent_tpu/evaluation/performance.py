@@ -103,7 +103,7 @@ class PerformanceEvaluator:
         return blob, offsets, flat_probs
 
     def run_pipelined(self, signal_paths, chunk_size: int = 1024,
-                      inflight: int = 6, finishers: int = 4) -> Dict:
+                      inflight: int = 8, finishers: int = 4) -> Dict:
         """Process a list of reads as a pipeline: the main thread loads and
         dispatches read k+1 while read k computes on the device and a small
         completion pool fetches/postprocesses/merges finished reads. Reads

@@ -5,15 +5,29 @@ Replaces the reference's external DeepSimulator data-generation pipeline
 data/generate_simulator_reduced.py) with the built-in simulator. Datasets are
 deterministic in their seeds, so they are reproduced rather than committed.
 
+Two genome sources:
+  --ref-reduced {45,450,1024,2048,4096}  use the reference's COMMITTED
+      reduced-vocabulary genomes (data/simulator/reduced/seq.*.fasta) — the
+      exact train/eval genome split of the reference's accuracy protocol
+      (reference: data/generate_simulator_reduced.py:86-106). Train reads are
+      sampled from the train genome, val/test reads from the eval genome.
+  --n-kmers K  regenerate a fresh reduced genome (K base 6-mers; 0 = fully
+      random genome) — the round-1 recipe, kept for ablations.
+
+Signal realism via --profile {clean,realistic} (see
+ravvent_tpu.data.simulator.SimProfile): "realistic" is the default for new
+datasets — low-pass-filtered transitions, per-kmer noise, dwell outliers,
+skipped bases, baseline drift.
+
 Usage:
-  python tools/make_dataset.py --out datasets/sim_lambda [--n-kmers 0]
-  (--n-kmers K > 0 uses a reduced K-base-kmer vocabulary genome like the
-  reference's reduced sets; 0 = unrestricted random genome)
+  python tools/make_dataset.py --out datasets/ref45 --ref-reduced 45
+  python tools/make_dataset.py --out datasets/sim_lambda --n-kmers 43
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -23,25 +37,65 @@ import numpy as np
 
 from ravvent_tpu.data import chiron, simulator
 
+# vocab size (distinct 6-mers appearing) -> committed reference FASTA prefix
+REF_REDUCED_SETS = {
+    45: "seq.3.25000.45",
+    450: "seq.12.75000.450",
+    1024: "seq.21.150000.1024",
+    2048: "seq.43.300000.2048",
+    4096: "seq.4096.600000.4096",
+}
+REF_REDUCED_DIR = os.environ.get(
+    "RAVVENT_REF_REDUCED_DIR", "/root/reference/data/simulator/reduced"
+)
+
+
+def load_ref_reduced_genomes(vocab_size: int):
+    """Load the reference's committed (train, eval) genome pair for a
+    difficulty level. Returns (train_genome, eval_genome, set_name)."""
+    prefix = REF_REDUCED_SETS[vocab_size]
+    d = Path(REF_REDUCED_DIR)
+    train = simulator.read_fasta(d / f"{prefix}.train.fasta")
+    eval_ = simulator.read_fasta(d / f"{prefix}.eval.fasta")
+    tg = "".join(seq for _, seq in train)
+    eg = "".join(seq for _, seq in eval_)
+    return tg, eg, prefix
+
 
 def build(out_dir, n_kmers=0, genome_len=300_000, train_reads=24, eval_reads=8,
-          read_len=(6000, 10000), noise_std=9.0, seed=7):
-    out = Path(out_dir)
-    rng = np.random.default_rng(seed)
-    if n_kmers > 0:
-        genome = simulator.generate_reduced_genome(n_kmers, genome_len, rng)
-    else:
-        genome = simulator.random_genome(genome_len, rng)
-    simulator.write_fasta(out / "genome.fasta", f"sim.{n_kmers}.{genome_len}", genome) \
-        if out.mkdir(parents=True, exist_ok=True) is None else None
+          read_len=(6000, 10000), noise_std=9.0, seed=7, profile=None,
+          train_genome=None, eval_genome=None, genome_name=None):
+    """Write a chiron train/val/test dataset under ``out_dir``.
 
+    With explicit ``train_genome``/``eval_genome`` strings, reads are sampled
+    from each respectively (the reference's protocol: separate genomes per
+    split). Otherwise one genome is generated and both splits sample
+    (disjoint) reads from it.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    if train_genome is None:
+        if n_kmers > 0:
+            train_genome = simulator.generate_reduced_genome(n_kmers, genome_len, rng)
+        else:
+            train_genome = simulator.random_genome(genome_len, rng)
+        genome_name = genome_name or f"sim.{n_kmers}.{genome_len}"
+    if eval_genome is None:
+        eval_genome = train_genome
+    simulator.write_fasta(out / "genome.train.fasta",
+                          f"{genome_name or 'genome'}.train", train_genome)
+    simulator.write_fasta(out / "genome.eval.fasta",
+                          f"{genome_name or 'genome'}.eval", eval_genome)
+
+    prof = simulator.PROFILES[profile] if isinstance(profile, str) else profile
     simulator.generate_chiron_dataset(
-        out / "train", genome, n_reads=train_reads, read_len_range=read_len,
-        seed=seed + 1, noise_std=noise_std,
+        out / "train", train_genome, n_reads=train_reads, read_len_range=read_len,
+        seed=seed + 1, noise_std=noise_std, profile=prof,
     )
     simulator.generate_chiron_dataset(
-        out / "eval", genome, n_reads=eval_reads, read_len_range=read_len,
-        seed=seed + 2, noise_std=noise_std,
+        out / "eval", eval_genome, n_reads=eval_reads, read_len_range=read_len,
+        seed=seed + 2, noise_std=noise_std, profile=prof,
     )
     fi_train = chiron.create_files_info(out / "train", stride=6, verbose=False)
     fi_eval = chiron.create_files_info(out / "eval", stride=6, verbose=False)
@@ -57,15 +111,52 @@ def build(out_dir, n_kmers=0, genome_len=300_000, train_reads=24, eval_reads=8,
     return fi_train, val_path, test_path
 
 
+def build_ref_reduced(out_dir, vocab_size, train_reads=None, eval_reads=8,
+                      read_len=(6000, 10000), profile="realistic", seed=7,
+                      coverage=8.0):
+    """Dataset anchored on the reference's committed genomes for one
+    difficulty level. ``train_reads=None`` sizes the read set to ~``coverage``x
+    genome coverage (capped at 320 reads)."""
+    tg, eg, name = load_ref_reduced_genomes(vocab_size)
+    if train_reads is None:
+        mean_len = (read_len[0] + read_len[1]) / 2
+        train_reads = int(min(320, max(16, round(coverage * len(tg) / mean_len))))
+    print(f"{name}: train genome {len(tg)}bp -> {train_reads} reads; "
+          f"eval genome {len(eg)}bp -> {eval_reads} reads; profile={profile}")
+    return build(
+        out_dir, train_reads=train_reads, eval_reads=eval_reads,
+        read_len=read_len, seed=seed, profile=profile,
+        train_genome=tg, eval_genome=eg, genome_name=name,
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="datasets/sim_lambda")
+    ap.add_argument("--ref-reduced", type=int, default=0,
+                    choices=[0] + sorted(REF_REDUCED_SETS),
+                    help="use the reference's committed reduced genome set "
+                         "of this vocab size (0 = generate a genome instead)")
     ap.add_argument("--n-kmers", type=int, default=43)
     ap.add_argument("--genome-len", type=int, default=300_000)
-    ap.add_argument("--train-reads", type=int, default=24)
+    ap.add_argument("--train-reads", type=int, default=0,
+                    help="0 = coverage-sized for --ref-reduced, 24 otherwise")
     ap.add_argument("--eval-reads", type=int, default=8)
+    ap.add_argument("--coverage", type=float, default=8.0)
     ap.add_argument("--noise-std", type=float, default=9.0)
+    ap.add_argument("--profile", default="realistic",
+                    choices=sorted(simulator.PROFILES) + ["legacy"],
+                    help="signal realism (legacy = round-1 white-noise model)")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
-    build(args.out, args.n_kmers, args.genome_len, args.train_reads,
-          args.eval_reads, noise_std=args.noise_std, seed=args.seed)
+    profile = None if args.profile == "legacy" else args.profile
+    if args.ref_reduced:
+        build_ref_reduced(
+            args.out, args.ref_reduced,
+            train_reads=args.train_reads or None, eval_reads=args.eval_reads,
+            profile=profile, seed=args.seed, coverage=args.coverage,
+        )
+    else:
+        build(args.out, args.n_kmers, args.genome_len, args.train_reads or 24,
+              args.eval_reads, noise_std=args.noise_std, seed=args.seed,
+              profile=profile)

@@ -53,9 +53,12 @@ def main() -> None:
 
     fi = bench.ensure_dataset()
     cfg, params, _ = bench.load_flagship()
+    # Pallas beam kernels target TPU; mirror bench.py's backend guard so the
+    # sweep still runs on a CPU backend (e.g. during a tunnel outage).
+    beam_impl = "step" if jax.default_backend() in ("tpu", "axon") else "xla"
     eng = BasecallEngine(
         params, cfg, chunk_size=4096, memory_dtype=jnp.bfloat16,
-        project_values=True, beam_impl="step", encoder_dtype=jnp.bfloat16,
+        project_values=True, beam_impl=beam_impl, encoder_dtype=jnp.bfloat16,
         pack_u8=True, transport_dtype="i8dev", prob_bits=4,
     )
 
@@ -83,11 +86,14 @@ def main() -> None:
         stream = paths * mult
         for pair in args.configs.split(","):
             infl, fin = (int(x) for x in pair.split(":"))
+            # fastest pass = the min-wall record (same steady-state
+            # discipline as bench.py; min over bases_per_s would pick the
+            # SLOWEST pass and skew config comparisons)
             best = min(
-                pe.run_pipelined(stream, inflight=infl, finishers=fin)[
-                    "bases_per_s"]
-                for _ in range(args.passes)
-            )
+                (pe.run_pipelined(stream, inflight=infl, finishers=fin)
+                 for _ in range(args.passes)),
+                key=lambda r: r["wall_s"],
+            )["bases_per_s"]
             rows.append({"reads": len(stream), "inflight": infl,
                          "finishers": fin, "bases_per_s": round(best, 1)})
             print(f"reads={len(stream)} inflight={infl} finishers={fin}: "
