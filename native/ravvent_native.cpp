@@ -607,3 +607,225 @@ long rv_merge_read(const char* seqs, const long* offsets, const double* logits,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Seed-chain-extend read mapper: the minimap2 substitute for the accuracy
+// metric when minimap2 is not installed (reference invokes
+// `minimap2 -x map-ont -c` at ravvent_mapping_evaluator.py:85-88 and sums
+// PAF (matches, block_len) over all mapping lines at :90-108). Pipeline:
+// minimizer seeds -> colinear anchor chaining (integer DP) -> per-chain
+// banded affine (Gotoh) extension between the chain's terminal anchors.
+// Query tails outside a chain are soft-clipped — NOT charged to block_len —
+// which is the map-ont behavior the whole-read banded-global fallback could
+// not reproduce (a garbage tail pays full gap cost under global alignment).
+// Forward strand only (the caller maps the reverse complement separately).
+// Semantics are mirrored exactly by the numpy oracle in
+// ravvent_tpu/assembly/sce_mapper.py; parity is enforced by tests.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// SplitMix64 finalizer: decorrelates k-mer codes so minimizer sampling is
+// uniform (lexicographic minima would oversample poly-A).
+inline uint64_t mix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+inline int base_code(char c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+  }
+  return -1;
+}
+
+// (hash, position) minimizers of seq with window w: for each window of w
+// consecutive k-mers keep the smallest hash (leftmost on ties), deduped.
+// Windows containing a non-ACGT character are skipped.
+void minimizers(const char* s, long n, int k, int w,
+                std::vector<std::pair<uint64_t, long>>& out) {
+  out.clear();
+  if (n < k) return;
+  const long nk = n - k + 1;
+  std::vector<uint64_t> hash(nk, UINT64_MAX);  // UINT64_MAX = invalid k-mer
+  uint64_t val = 0;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  long run = 0;  // consecutive valid bases ending at i
+  for (long i = 0; i < n; ++i) {
+    int c = base_code(s[i]);
+    if (c < 0) { run = 0; val = 0; continue; }
+    val = ((val << 2) | (uint64_t)c) & mask;
+    ++run;
+    if (run >= k) hash[i - k + 1] = mix64(val);
+  }
+  if (nk < w) return;
+  long last_pos = -1;
+  for (long i = 0; i + w <= nk; ++i) {
+    // leftmost minimum of hash[i : i+w] (rescan per window: k/w are small
+    // and this runs on ~10-60kb read pairs, not genomes)
+    long best = i;
+    for (long j = i + 1; j < i + w; ++j)
+      if (hash[j] < hash[best]) best = j;
+    if (hash[best] == UINT64_MAX) continue;
+    if (best != last_pos) {
+      out.emplace_back(hash[best], best);
+      last_pos = best;
+    }
+  }
+}
+
+inline int ilog2_u32(uint32_t v) {
+  int r = 0;
+  while (v >>= 1) ++r;
+  return r;
+}
+
+struct ChainRow {
+  long matches, cols, q_start, q_end, t_start, t_end;
+};
+
+// Full mapper on one strand; returns chains found (best first).
+long map_read_core(const char* q, long n, const char* t, long m,
+                   int k, int w, int max_occ,
+                   long min_chain_score, int min_chain_anchors,
+                   double a_match, double a_mismatch,
+                   double a_gap_open, double a_gap_extend,
+                   std::vector<ChainRow>& chains, long max_chains) {
+  chains.clear();
+  std::vector<std::pair<uint64_t, long>> tmin, qmin;
+  minimizers(t, m, k, w, tmin);
+  minimizers(q, n, k, w, qmin);
+  if (tmin.empty() || qmin.empty()) return 0;
+
+  // index target minimizers: sort by hash, then binary-search per query seed
+  std::sort(tmin.begin(), tmin.end());
+
+  // anchors (q_pos, t_pos), built in query order
+  std::vector<std::pair<long, long>> anchors;
+  for (auto& [h, qp] : qmin) {
+    auto lo = std::lower_bound(tmin.begin(), tmin.end(),
+                               std::make_pair(h, (long)-1));
+    auto hi = lo;
+    while (hi != tmin.end() && hi->first == h) ++hi;
+    if (hi - lo > max_occ) continue;  // repetitive seed: drop entirely
+    for (auto it = lo; it != hi; ++it) anchors.emplace_back(qp, it->second);
+  }
+  if (anchors.empty()) return 0;
+
+  // chain DP over anchors sorted by (t, q) — minimap2-style but with pure
+  // integer scoring so the numpy oracle can match bit-for-bit
+  std::sort(anchors.begin(), anchors.end(),
+            [](const auto& a, const auto& b) {
+              return a.second != b.second ? a.second < b.second
+                                          : a.first < b.first;
+            });
+  const long A = (long)anchors.size();
+  const long MAX_DIST = 5000, MAX_BW = 500;
+  const int WINDOW = 64;
+  std::vector<long> f(A), parent(A, -1);
+  for (long i = 0; i < A; ++i) {
+    f[i] = k;
+    const long qi = anchors[i].first, ti = anchors[i].second;
+    for (long j = i - 1; j >= 0 && j >= i - WINDOW; --j) {
+      const long dq = qi - anchors[j].first, dt = ti - anchors[j].second;
+      if (dq <= 0 || dt <= 0) continue;
+      if (dq > MAX_DIST || dt > MAX_DIST) continue;
+      const long gap = std::labs(dq - dt);
+      if (gap > MAX_BW) continue;
+      const long gain = std::min<long>(std::min(dq, dt), k);
+      const long cost = gap ? gap / 8 + ilog2_u32((uint32_t)gap) / 2 + 1 : 0;
+      const long cand = f[j] + gain - cost;
+      if (cand > f[i]) { f[i] = cand; parent[i] = j; }
+    }
+  }
+
+  // greedy chain extraction: best remaining score, backtrack until a used
+  // anchor; drop chains mostly inside an already-mapped query region
+  std::vector<long> order(A);
+  for (long i = 0; i < A; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](long a, long b) { return f[a] > f[b]; });
+  std::vector<uint8_t> used(A, 0);
+  std::vector<std::pair<long, long>> covered;  // mapped query spans
+  for (long oi = 0; oi < A && (long)chains.size() < max_chains; ++oi) {
+    const long tail = order[oi];
+    if (used[tail] || f[tail] < min_chain_score) continue;
+    // backtrack
+    long i = tail, n_anchors = 0;
+    long qs = anchors[tail].first, ts = anchors[tail].second;
+    long max_drift = 0;
+    const long diag_end = anchors[tail].first - anchors[tail].second;
+    while (i >= 0 && !used[i]) {
+      used[i] = 1;
+      ++n_anchors;
+      qs = anchors[i].first;
+      ts = anchors[i].second;
+      const long drift = std::labs((anchors[i].first - anchors[i].second) -
+                                   diag_end);
+      max_drift = std::max(max_drift, drift);
+      i = parent[i];
+    }
+    if (n_anchors < min_chain_anchors) continue;
+    const long qe = anchors[tail].first + k, te = anchors[tail].second + k;
+    // secondary suppression: >50% query overlap with an accepted chain
+    const long span = qe - qs;
+    bool secondary = false;
+    for (auto& [cs, ce] : covered) {
+      const long ov = std::min(qe, ce) - std::max(qs, cs);
+      if (2 * ov > span) { secondary = true; break; }
+    }
+    if (secondary) continue;
+    covered.emplace_back(qs, qe);
+
+    // extend: banded affine global alignment across the chained region
+    long matches = 0, cols = 0;
+    double score = 0.0;
+    const long band = std::max<long>(64, max_drift + 64);
+    if (!banded_global_core(q + qs, qe - qs, t + ts, te - ts,
+                            a_match, a_mismatch, a_gap_open, a_gap_extend,
+                            band, &matches, &cols, &score)) {
+      // band blew up (shouldn't happen for a real chain); widen once
+      if (!banded_global_core(q + qs, qe - qs, t + ts, te - ts,
+                              a_match, a_mismatch, a_gap_open, a_gap_extend,
+                              std::labs((qe - qs) - (te - ts)) + 256,
+                              &matches, &cols, &score))
+        continue;
+    }
+    chains.push_back({matches, cols, qs, qe, ts, te});
+  }
+  return (long)chains.size();
+}
+
+}  // namespace
+
+extern "C" {
+
+// out: max_chains rows of 6 longs (matches, block_len, q_start, q_end,
+// t_start, t_end). Returns the number of chains written.
+long rv_map_read(const char* q, long n, const char* t, long m,
+                 int k, int w, int max_occ,
+                 long min_chain_score, int min_chain_anchors,
+                 double a_match, double a_mismatch,
+                 double a_gap_open, double a_gap_extend,
+                 long* out, long max_chains) {
+  std::vector<ChainRow> chains;
+  long nc = map_read_core(q, n, t, m, k, w, max_occ, min_chain_score,
+                          min_chain_anchors, a_match, a_mismatch, a_gap_open,
+                          a_gap_extend, chains, max_chains);
+  for (long i = 0; i < nc; ++i) {
+    out[6 * i + 0] = chains[i].matches;
+    out[6 * i + 1] = chains[i].cols;
+    out[6 * i + 2] = chains[i].q_start;
+    out[6 * i + 3] = chains[i].q_end;
+    out[6 * i + 4] = chains[i].t_start;
+    out[6 * i + 5] = chains[i].t_end;
+  }
+  return nc;
+}
+
+}  // extern "C"

@@ -191,79 +191,148 @@ def banded_global_identity(
 
 
 def _banded_global_identity_np(query, ref, match, mismatch, gap_open, gap_extend, band):
+    """Numpy mirror of the native banded Gotoh kernel
+    (native/ravvent_native.cpp rv_banded_global / banded_global_core):
+    identical full-affine E/F recurrences, tie-breaking, band re-centering
+    (floor division) and traceback counting — parity is enforced by tests, so
+    identity numbers no longer depend on whether g++ was available.
+
+    The within-row E (left-gap) recurrence is sequential; it is vectorized
+    with the closed form E[k] = (k-1)*ext + max_{k'<k}(M[k'] + open - k'*ext)
+    where M = max(diag, up) — valid because gap_open <= gap_extend (in
+    penalty terms) makes H's E-component never feed a cheaper re-open. All
+    default scores are binary fractions, so the closed form is bit-exact
+    against the native kernel's sequential adds.
+    """
     n, m = len(query), len(ref)
     if n == 0 or m == 0:
         return 0, max(n, m), 0.0
-    if band is None:
-        band = max(64, abs(n - m) + 64)
+    if band is None or band <= 0:
+        band = max(128, abs(n - m) + 128)
+    if gap_open > gap_extend:
+        raise ValueError("banded_global requires gap_open <= gap_extend "
+                         "(penalties; affine closed form)")
     q = np.frombuffer(query.encode(), dtype=np.uint8)
     r = np.frombuffer(ref.encode(), dtype=np.uint8)
 
-    # rows: query, cols: ref, band around the diagonal j ~ i * m/n
-    width = 2 * band + 1
-    H = np.full((n + 1, width), NEG)
-    # matches/columns carried along with the score (greedy traceback-free
-    # identity accounting)
-    MA = np.zeros((n + 1, width), dtype=np.int32)
-    CO = np.zeros((n + 1, width), dtype=np.int32)
+    W = 2 * band + 1
+    ks = np.arange(W)
 
-    def center(i):
-        return int(round(i * m / n))
+    def center(i):  # native: (i * m) / n with integer division
+        return (i * m) // n
 
-    # init row 0: leading gap in query
+    H = np.full(W, NEG)
+    F = np.full(W, NEG)
+    # packed traceback, one byte/cell: bits 0-1 move (0 diag, 1 up, 2 left,
+    # 3 none), bit 2 E-extend, bit 3 F-extend
+    TB = np.full((n + 1, W), 3, dtype=np.uint8)
+
     c0 = center(0)
-    for k in range(width):
-        j = c0 - band + k
-        if 0 <= j <= m:
-            H[0, k] = (gap_open + (j - 1) * gap_extend) if j > 0 else 0.0
-            CO[0, k] = j
+    js0 = c0 - band + ks
+    at0 = (js0 == 0)
+    pos = (js0 > 0) & (js0 <= m)
+    H[at0] = 0.0
+    H[pos] = gap_open + (js0[pos] - 1) * gap_extend
+    TB[0, pos] = 2
+
+    def shifted(prev, off):
+        idx = ks + off
+        ok = (idx >= 0) & (idx < W)
+        out = np.full(W, NEG)
+        out[ok] = prev[idx[ok]]
+        return out
+
     for i in range(1, n + 1):
-        ci, cp = center(i), center(i - 1)
-        shift = ci - cp
-        js = ci - band + np.arange(width)
+        shift = center(i) - center(i - 1)
+        js = center(i) - band + ks
         valid = (js >= 0) & (js <= m)
-        # previous row arrays re-indexed for this row's centering
-        def prev(k_off):
-            idx = np.arange(width) + shift + k_off
-            ok = (idx >= 0) & (idx < width)
-            out_h = np.full(width, NEG)
-            out_ma = np.zeros(width, dtype=np.int32)
-            out_co = np.zeros(width, dtype=np.int32)
-            out_h[ok] = H[i - 1, idx[ok]]
-            out_ma[ok] = MA[i - 1, idx[ok]]
-            out_co[ok] = CO[i - 1, idx[ok]]
-            return out_h, out_ma, out_co
+        h_up = shifted(H, shift)
+        f_up = shifted(F, shift)
+        h_dg = shifted(H, shift - 1)
 
-        dh, dma, dco = prev(-1)  # diagonal (i-1, j-1)
-        uh, uma, uco = prev(0)  # up (i-1, j): gap in ref (consume query)
-        is_match = np.zeros(width, dtype=bool)
-        jm1 = js - 1
-        okj = (jm1 >= 0) & (jm1 < m)
-        is_match[okj] = r[jm1[okj]] == q[i - 1]
-        sub = np.where(is_match, match, mismatch)
-        cand_d = dh + sub
-        cand_u = uh + gap_open  # (approximate affine: open per gap char run start not tracked)
-        new_h = np.full(width, NEG)
-        new_ma = np.zeros(width, dtype=np.int32)
-        new_co = np.zeros(width, dtype=np.int32)
-        # diagonal vs up
-        take_d = cand_d >= cand_u
-        new_h = np.where(take_d, cand_d, cand_u)
-        new_ma = np.where(take_d, dma + is_match.astype(np.int32), uma)
-        new_co = np.where(take_d, dco + 1, uco + 1)
-        # left (i, j-1): gap in query — sequential within row
-        for k in range(width):
-            if not valid[k]:
-                new_h[k] = NEG
-                continue
-            if k > 0 and new_h[k - 1] + gap_open > new_h[k]:
-                new_h[k] = new_h[k - 1] + gap_open
-                new_ma[k] = new_ma[k - 1]
-                new_co[k] = new_co[k - 1] + 1
-        H[i], MA[i], CO[i] = new_h, new_ma, new_co
+        f_open = h_up + gap_open
+        f_ext = f_up + gap_extend
+        f_bit = f_ext > f_open
+        Fn = np.where(f_bit, f_ext, f_open)
 
-    # final cell: j = m
+        is_match = np.zeros(W, dtype=bool)
+        okj = (js >= 1) & (js <= m)
+        is_match[okj] = r[js[okj] - 1] == q[i - 1]
+        d = np.where(okj & (h_dg > NEG / 2),
+                     h_dg + np.where(is_match, match, mismatch), NEG)
+
+        # non-E candidate per cell, NEG on invalid cells so the closed-form
+        # E never opens from outside the band
+        M = np.where(valid, np.maximum(d, Fn), NEG)
+
+        # closed-form E (see docstring); E[0] has no left neighbor
+        E = np.full(W, NEG)
+        if W > 1:
+            run = np.maximum.accumulate(M[:-1] + gap_open - ks[:-1] * gap_extend)
+            E[1:] = run + (ks[1:] - 1) * gap_extend
+            E[1:] = np.where(run <= NEG / 2, NEG, E[1:])
+        e_bit = np.zeros(W, dtype=bool)
+        if W > 1:
+            # native: e_ext = e_prev + ext vs e_open = H[k-1] + open (H of
+            # this row = max(M, E)); recomputed from final values
+            Hrow_prev = np.maximum(M[:-1], E[:-1])
+            e_bit[1:] = (E[:-1] + gap_extend) > (Hrow_prev + gap_open)
+
+        Hn = np.where(valid, np.maximum(M, E), NEG)
+        mv = np.zeros(W, dtype=np.uint8)
+        mv = np.where(Fn > d, 1, mv)
+        mv = np.where(E > np.maximum(d, Fn), 2, mv)
+        row = np.where(
+            valid,
+            (mv | (e_bit.astype(np.uint8) << 2) | (f_bit.astype(np.uint8) << 3)
+             ).astype(np.uint8),
+            np.uint8(3),
+        )
+        TB[i] = row
+        H, F = Hn, Fn
+
     kf = m - center(n) + band
-    if not (0 <= kf < width) or H[n, kf] <= NEG / 2:
+    if not (0 <= kf < W) or H[kf] < NEG / 2:
         return 0, 0, 0.0
-    return int(MA[n, kf]), int(CO[n, kf]), float(H[n, kf])
+    score = float(H[kf])
+
+    # traceback (mirrors native/ravvent_native.cpp banded_global_core)
+    i, k = n, int(kf)
+    matches = 0
+    cols = 0
+    state = 0  # 0 H, 1 F(up), 2 E(left)
+    while i > 0 or (center(i) - band + k) > 0:
+        j = center(i) - band + k
+        if j < 0:
+            return 0, 0, 0.0
+        if i == 0:
+            cols += j
+            break
+        if j == 0:
+            cols += i
+            break
+        tb = int(TB[i, k])
+        mv = (tb & 3) if state == 0 else (1 if state == 1 else 2)
+        if mv == 0:
+            if q[i - 1] == r[j - 1]:
+                matches += 1
+            cols += 1
+            k = k + (center(i) - center(i - 1)) - 1
+            i -= 1
+            state = 0
+        elif mv == 1:
+            cols += 1
+            ext = (tb >> 3) & 1
+            k = k + (center(i) - center(i - 1))
+            i -= 1
+            state = 1 if ext else 0
+        elif mv == 2:
+            cols += 1
+            ext = (tb >> 2) & 1
+            k -= 1
+            state = 2 if ext else 0
+        else:
+            return 0, 0, 0.0
+        if k < 0 or k >= W:
+            return 0, 0, 0.0
+    return int(matches), int(cols), score

@@ -1,0 +1,292 @@
+"""Seed-chain-extend read mapper — the built-in minimap2 substitute.
+
+The reference's accuracy metric of record is ``minimap2 -x map-ont -c``
+identity: sum(matches)/sum(block_len) over all PAF mapping lines
+(reference: ravvent_mapping_evaluator.py:85-108). When minimap2 is not
+installed, a whole-read *global* aligner misgrades reads with garbage tails
+or a corrupt middle (a read that minimap2 would soft-clip or split-map pays
+full gap cost under global alignment). This module reproduces map-ont's
+local-mapping semantics:
+
+1. **Minimizer seeding** (k=15, w=10, SplitMix64-hashed, occurrence-capped)
+2. **Colinear anchor chaining** — integer-score DP (gain = min(dq, dt, k),
+   concave gap cost), greedy best-chain extraction with secondary
+   suppression by query-span overlap
+3. **Banded affine extension** — Gotoh global alignment between each chain's
+   terminal anchors (band sized from the chain's observed diagonal drift);
+   query outside the chain is soft-clipped and NOT charged to block_len
+
+Both strands are tried (the reverse complement is mapped separately and the
+better strand kept). The native C++ implementation
+(native/ravvent_native.cpp::rv_map_read) and the numpy oracle here are
+semantically identical; parity is enforced by tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+# mapper defaults (minimap2 map-ont-flavored: k=15 w=10; -f occurrence
+# filtering approximated by a hard per-seed cap; -m 40 / -n 3 chain gates)
+K = 15
+W = 10
+MAX_OCC = 64
+MIN_CHAIN_SCORE = 40
+MIN_CHAIN_ANCHORS = 3
+MAX_CHAINS = 8
+MAX_DIST = 5000
+MAX_BW = 500
+CHAIN_WINDOW = 64
+
+# extension alignment scores (identity is insensitive to the exact values;
+# binary fractions keep numpy/native arithmetic bit-identical)
+A_MATCH = 1.0
+A_MISMATCH = -1.0
+A_GAP_OPEN = -2.0
+A_GAP_EXTEND = -0.5
+
+_MIX_C0 = np.uint64(0x9E3779B97F4A7C15)
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+class Chain(NamedTuple):
+    matches: int
+    block_len: int
+    q_start: int
+    q_end: int
+    t_start: int
+    t_end: int
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (vectorized, u64 wraparound)."""
+    with np.errstate(over="ignore"):
+        x = x + _MIX_C0
+        x = (x ^ (x >> np.uint64(30))) * _MIX_C1
+        x = (x ^ (x >> np.uint64(27))) * _MIX_C2
+        return x ^ (x >> np.uint64(31))
+
+
+def _base_codes(seq: str) -> np.ndarray:
+    lut = np.full(128, -1, dtype=np.int8)
+    for i, b in enumerate("ACGT"):
+        lut[ord(b)] = i
+        lut[ord(b.lower())] = i
+    return lut[np.frombuffer(seq.encode(), dtype=np.uint8)]
+
+
+def minimizers(seq: str, k: int = K, w: int = W) -> List[Tuple[int, int]]:
+    """(hash, position) minimizers: per window of w consecutive k-mers, the
+    smallest hash (leftmost on ties), deduplicated by position. Windows
+    containing a non-ACGT base are skipped."""
+    n = len(seq)
+    if n < k:
+        return []
+    codes = _base_codes(seq)
+    nk = n - k + 1
+    if nk < w:
+        return []
+    cv = codes >= 0
+    # run length of valid bases ending at i (vectorized segment resets);
+    # k-mer at position p is valid iff the run ending at p+k-1 spans >= k
+    idx = np.arange(n)
+    last_bad = np.maximum.accumulate(np.where(~cv, idx, -1))
+    kmer_ok = (idx - last_bad)[k - 1:] >= k
+
+    # 2-bit pack: v[i] = sum c[i+j] << 2*(k-1-j), built by strided shifts
+    c = np.where(cv, codes, 0).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        v = np.zeros(nk, dtype=np.uint64)
+        for j in range(k):
+            v = (v << np.uint64(2)) | c[j : j + nk]
+    hashes = _mix64(v)
+    hashes = np.where(kmer_ok, hashes, np.uint64(0xFFFFFFFFFFFFFFFF))
+
+    # leftmost window minimum via sliding argmin
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(hashes, w)
+    arg = win.argmin(axis=1)  # leftmost on ties
+    pos = np.arange(win.shape[0]) + arg
+    hv = hashes[pos]
+    keep = hv != np.uint64(0xFFFFFFFFFFFFFFFF)
+    pos, hv = pos[keep], hv[keep]
+    # dedup consecutive identical positions (native keeps first occurrence)
+    if pos.size:
+        first = np.ones(pos.size, dtype=bool)
+        first[1:] = pos[1:] != pos[:-1]
+        pos, hv = pos[first], hv[first]
+    return list(zip(hv.tolist(), pos.tolist()))
+
+
+def _ilog2(v: int) -> int:
+    return v.bit_length() - 1
+
+
+def _chain_anchors(anchors: List[Tuple[int, int]], k: int):
+    """Integer chain DP (mirrors native map_read_core): anchors sorted by
+    (t, q); returns (f, parent) arrays."""
+    A = len(anchors)
+    f = [k] * A
+    parent = [-1] * A
+    for i in range(A):
+        qi, ti = anchors[i]
+        fi = k
+        pi = -1
+        for j in range(i - 1, max(-1, i - CHAIN_WINDOW - 1), -1):
+            dq = qi - anchors[j][0]
+            dt = ti - anchors[j][1]
+            if dq <= 0 or dt <= 0:
+                continue
+            if dq > MAX_DIST or dt > MAX_DIST:
+                continue
+            gap = abs(dq - dt)
+            if gap > MAX_BW:
+                continue
+            gain = min(dq, dt, k)
+            cost = (gap // 8 + _ilog2(gap) // 2 + 1) if gap else 0
+            cand = f[j] + gain - cost
+            if cand > fi:
+                fi = cand
+                pi = j
+        f[i] = fi
+        parent[i] = pi
+    return f, parent
+
+
+def map_read_py(query: str, ref: str, k: int = K, w: int = W,
+                max_occ: int = MAX_OCC,
+                min_chain_score: int = MIN_CHAIN_SCORE,
+                min_chain_anchors: int = MIN_CHAIN_ANCHORS,
+                max_chains: int = MAX_CHAINS) -> List[Chain]:
+    """Numpy/python oracle of native rv_map_read (forward strand only)."""
+    from ravvent_tpu.assembly.alignment import _banded_global_identity_np
+
+    tmin = minimizers(ref, k, w)
+    qmin = minimizers(query, k, w)
+    if not tmin or not qmin:
+        return []
+    index: Dict[int, List[int]] = {}
+    for h, p in tmin:
+        index.setdefault(h, []).append(p)
+    anchors = []
+    for h, qp in qmin:
+        hits = index.get(h)
+        if hits is None or len(hits) > max_occ:
+            continue
+        for tp in hits:
+            anchors.append((qp, tp))
+    if not anchors:
+        return []
+    anchors.sort(key=lambda a: (a[1], a[0]))
+    f, parent = _chain_anchors(anchors, k)
+
+    order = sorted(range(len(anchors)), key=lambda i: -f[i])
+    used = [False] * len(anchors)
+    covered: List[Tuple[int, int]] = []
+    chains: List[Chain] = []
+    for tail in order:
+        if len(chains) >= max_chains:
+            break
+        if used[tail] or f[tail] < min_chain_score:
+            continue
+        i = tail
+        n_anchors = 0
+        qs = ts = 0
+        diag_end = anchors[tail][0] - anchors[tail][1]
+        max_drift = 0
+        while i >= 0 and not used[i]:
+            used[i] = True
+            n_anchors += 1
+            qs, ts = anchors[i]
+            max_drift = max(max_drift, abs((anchors[i][0] - anchors[i][1]) - diag_end))
+            i = parent[i]
+        if n_anchors < min_chain_anchors:
+            continue
+        qe, te = anchors[tail][0] + k, anchors[tail][1] + k
+        span = qe - qs
+        if any(2 * (min(qe, ce) - max(qs, cs)) > span for cs, ce in covered):
+            continue
+        covered.append((qs, qe))
+        band = max(64, max_drift + 64)
+        matches, cols, _ = _banded_global_identity_np(
+            query[qs:qe], ref[ts:te], A_MATCH, A_MISMATCH,
+            A_GAP_OPEN, A_GAP_EXTEND, band)
+        if cols == 0:
+            matches, cols, _ = _banded_global_identity_np(
+                query[qs:qe], ref[ts:te], A_MATCH, A_MISMATCH,
+                A_GAP_OPEN, A_GAP_EXTEND,
+                abs((qe - qs) - (te - ts)) + 256)
+            if cols == 0:
+                continue
+        chains.append(Chain(matches, cols, qs, qe, ts, te))
+    return chains
+
+
+def map_read_native(query: str, ref: str, **kw) -> Optional[List[Chain]]:
+    from ravvent_tpu.ops import native
+
+    if not native.available():
+        return None
+    rows = native.map_read(
+        query, ref, kw.get("k", K), kw.get("w", W), kw.get("max_occ", MAX_OCC),
+        kw.get("min_chain_score", MIN_CHAIN_SCORE),
+        kw.get("min_chain_anchors", MIN_CHAIN_ANCHORS),
+        A_MATCH, A_MISMATCH, A_GAP_OPEN, A_GAP_EXTEND,
+        kw.get("max_chains", MAX_CHAINS),
+    )
+    return [Chain(*r) for r in rows]
+
+
+_RC = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def revcomp(seq: str) -> str:
+    return seq.translate(_RC)[::-1]
+
+
+def map_read(query: str, ref: str, try_revcomp: bool = True, **kw) -> Tuple[List[Chain], str]:
+    """Map ``query`` against ``ref`` on both strands; returns
+    (chains, strand) for the strand with more total matches (ties: '+').
+    Uses the native kernel when available, else the numpy oracle."""
+    def _map(q):
+        chains = map_read_native(q, ref, **kw)
+        if chains is None:
+            chains = map_read_py(q, ref, **kw)
+        return chains
+
+    fwd = _map(query)
+    if not try_revcomp:
+        return fwd, "+"
+    rev = _map(revcomp(query))
+    if sum(c.matches for c in rev) > sum(c.matches for c in fwd):
+        return rev, "-"
+    return fwd, "+"
+
+
+def map_identity(pred_seq: str, ref_seq: str, **kw) -> Dict:
+    """PAF-style identity record: sum(matches)/sum(block_len) over all
+    chains (the reference sums over all PAF lines,
+    ravvent_mapping_evaluator.py:90-108). No chains => unmapped
+    (read_length 0), the reference's 'invalid read' outcome."""
+    if len(pred_seq) == 0:
+        return {"read_length": 0, "matches": 0, "total_block_len": 0,
+                "identity": 0.0, "mapper": "sce"}
+    chains, strand = map_read(pred_seq, ref_seq, **kw)
+    matches = sum(c.matches for c in chains)
+    block = sum(c.block_len for c in chains)
+    if block == 0:
+        return {"read_length": 0, "matches": 0, "total_block_len": 0,
+                "identity": 0.0, "mapper": "sce"}
+    return {
+        "read_length": len(pred_seq),
+        "matches": int(matches),
+        "total_block_len": int(block),
+        "identity": matches / block,
+        "mapper": "sce",
+        "strand": strand,
+        "n_chains": len(chains),
+    }

@@ -28,7 +28,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ravvent_tpu.assembly.alignment import banded_global_identity
 from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
 from ravvent_tpu.config import ModelConfig
 from ravvent_tpu.data import chiron
@@ -146,26 +145,15 @@ class MappingEvaluator:
         }
 
     def _native_identity(self, pred_seq: str, ref_seq: str) -> Dict:
-        """Built-in minimap2 substitute: banded global alignment identity.
-        A read whose alignment fails (or is hopeless) is recorded as unmapped
-        (read_length=0), matching the reference's 'invalid read' outcome."""
-        if len(pred_seq) == 0:
-            return {"read_length": 0, "matches": 0, "total_block_len": 0,
-                    "identity": 0.0, "mapper": "native"}
-        band = max(256, abs(len(pred_seq) - len(ref_seq)) + 256)
-        matches, cols, score = banded_global_identity(pred_seq, ref_seq, band=band)
-        identity = matches / cols if cols else 0.0
-        # minimap2 would not map a read this bad — count it invalid
-        if cols == 0 or identity < 0.25:
-            return {"read_length": 0, "matches": 0, "total_block_len": 0,
-                    "identity": 0.0, "mapper": "native"}
-        return {
-            "read_length": len(pred_seq),
-            "matches": int(matches),
-            "total_block_len": int(cols),
-            "identity": identity,
-            "mapper": "native",
-        }
+        """Built-in minimap2 substitute: seed-chain-extend local mapping
+        (ravvent_tpu.assembly.sce_mapper) with map-ont semantics — soft
+        clipping, split mapping, both strands, matches/block_len summed over
+        chains like the reference sums PAF lines. A read with no chain is
+        recorded as unmapped (read_length=0), matching the reference's
+        'invalid read' outcome."""
+        from ravvent_tpu.assembly.sce_mapper import map_identity
+
+        return map_identity(pred_seq, ref_seq)
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -84,6 +84,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.rv_map_read.restype = ctypes.c_long
+        lib.rv_map_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+        ]
         _lib = lib
         return _lib
 
@@ -159,6 +167,28 @@ def banded_global_identity(
     if not ok:
         return 0, 0, float("-inf")
     return matches.value, cols.value, score.value
+
+
+def map_read(
+    query: str, ref: str, k: int, w: int, max_occ: int,
+    min_chain_score: int, min_chain_anchors: int,
+    a_match: float, a_mismatch: float, a_gap_open: float, a_gap_extend: float,
+    max_chains: int,
+) -> np.ndarray:
+    """Native seed-chain-extend mapper (rv_map_read). Returns an
+    [n_chains, 6] int array of (matches, block_len, q_start, q_end,
+    t_start, t_end) rows, best chain first."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.zeros(6 * max_chains, dtype=np.int64)
+    n = lib.rv_map_read(
+        query.encode(), len(query), ref.encode(), len(ref),
+        k, w, max_occ, min_chain_score, min_chain_anchors,
+        a_match, a_mismatch, a_gap_open, a_gap_extend,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), max_chains,
+    )
+    return out[: 6 * n].reshape(-1, 6).copy()
 
 
 def merge_read(

@@ -49,10 +49,25 @@ def test_train_and_evaluate_identity(tmp_path):
     ev = MappingEvaluator(engine, beam_width=5, cache_dir=str(d / "cache"))
     res = ev.evaluate_files(fi_ev, d / "results.json", verbose=False)
     total, valid, invalid = ev.compute_total_results(d / "results.json")
-    # 500 CPU steps is deliberately under-trained; chance identity on this
-    # aligner is ~0.25 threshold for "mapped". Trained-enough models reach
-    # >0.9 (see tools/train.py runs); here we just require clear learning.
-    assert total > 35.0, (total, res)
+    # 500 CPU steps is deliberately under-trained. The seed-chain-extend
+    # mapper is faithful to minimap2 map-ont: it refuses reads this bad
+    # (recorded as invalid), so assert clear learning via the banded global
+    # aligner on the merged read instead. Trained-enough models map fine
+    # and reach >0.9 (see tools/train.py runs).
+    assert all(r["mapper"] == "sce" for r in res)
+    import json
+
+    from ravvent_tpu.assembly.alignment import banded_global_identity
+
+    idents = []
+    for v in json.load(open(fi_ev)):
+        merged = ev.basecall_read(v["signal_path"]).seq
+        _, syms = chiron.load_label(v["label_path"])
+        ref_seq = "".join(syms)
+        band = max(256, abs(len(merged) - len(ref_seq)) + 256)
+        matches, cols, _ = banded_global_identity(merged, ref_seq, band=band)
+        idents.append(matches / cols if cols else 0.0)
+    assert float(np.mean(idents)) > 0.35, (idents, total, res)
 
 
 def test_minimap2_subprocess_path(tmp_path, monkeypatch):
