@@ -167,6 +167,7 @@ class BasecallEngine:
         pack_u8: bool = False,
         transport_dtype: str = "f16",
         prob_bits: int = 8,
+        mesh=None,
     ) -> None:
         """``memory_dtype=jnp.bfloat16`` stores the attention memory
         (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
@@ -197,11 +198,33 @@ class BasecallEngine:
         bytes; "i8sig" quantizes only the signal and keeps event features in
         f16 (the all-i8 event quantization costs ~0.7pt identity, the signal
         quantization is far below pore noise); "f32" is bit-exact with the
-        materialized path."""
+        materialized path.
+        ``mesh`` runs the SAME fast path data-parallel over a device mesh:
+        weights and the compact read buffer replicate (the buffer is tiny and
+        its unpack is a few bitcasts/cumsums), the snippet rows shard over the
+        mesh's 'data' axis via ``shard_map``, and each chip runs the identical
+        per-device program — wire formats, gather_rows, fused Pallas beam
+        kernels and the packed fetch included. No collectives on the hot path
+        (the snippet axis is embarrassingly parallel — SURVEY.md §2.3); the
+        host gathers the row-sharded packed result."""
+        self.mesh = mesh
+        self._n_data = 1
+        if mesh is not None:
+            self._n_data = int(mesh.shape["data"])
+            # every slab in the dispatch ladder (512 + multiples of 1024)
+            # must split evenly across the data axis
+            assert 512 % self._n_data == 0, (
+                f"data-axis size {self._n_data} must divide 512")
+            assert chunk_size % self._n_data == 0
         # Commit the weights to the device once. Checkpoint restores hand
         # back numpy arrays; leaving them host-side makes EVERY dispatch
         # re-upload the full tree (~5MB, >100ms over a remote-attached link).
-        self.params = jax.device_put(params)
+        if mesh is not None:
+            from ravvent_tpu.parallel.mesh import replicated_sharding
+
+            self.params = jax.device_put(params, replicated_sharding(mesh))
+        else:
+            self.params = jax.device_put(params)
         self.cfg = cfg
         self.chunk_size = chunk_size
         self.total_steps = total_steps
@@ -289,8 +312,34 @@ class BasecallEngine:
             )
             return tokens, logits
 
-        self._beam_jit = jax.jit(_beam, static_argnames=("beam_width",))
-        self._greedy_jit = jax.jit(_greedy)
+        if mesh is None:
+            self._beam_jit = jax.jit(_beam, static_argnames=("beam_width",))
+            self._greedy_jit = jax.jit(_greedy)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def _shmap(body, n_sharded):
+                # first arg (params) + trailing scalars replicate; the
+                # n_sharded row-axis operands after params shard over 'data'
+                def wrapped(*args):
+                    specs = (P(),) + (P("data"),) * n_sharded + (P(),) * (
+                        len(args) - 1 - n_sharded)
+                    return jax.shard_map(
+                        body, mesh=mesh, in_specs=specs, out_specs=P("data"),
+                        check_vma=False,
+                    )(*args)
+                return wrapped
+
+            def _beam_mesh(params, raw, event, max_steps, beam_width):
+                return _shmap(
+                    lambda p, r, e, m: _beam(p, r, e, m, beam_width), 2
+                )(params, raw, event, max_steps)
+
+            def _greedy_mesh(params, raw, event, max_steps):
+                return _shmap(_greedy, 2)(params, raw, event, max_steps)
+
+            self._beam_jit = jax.jit(_beam_mesh, static_argnames=("beam_width",))
+            self._greedy_jit = jax.jit(_greedy_mesh)
 
         def _beam_compact(params, signal, raw_ranges, events, event_ranges,
                           max_steps, beam_width, T_out=None):
@@ -348,8 +397,29 @@ class BasecallEngine:
             ).reshape(tokens.shape[0], -1)
             return jnp.concatenate([tok_b, prob_b], axis=1)
 
-        self._beam_compact_jit = jax.jit(
-            _beam_compact, static_argnames=("beam_width", "T_out"))
+        if mesh is None:
+            self._beam_compact_jit = jax.jit(
+                _beam_compact, static_argnames=("beam_width", "T_out"))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def _beam_compact_mesh(params, signal, raw_ranges, events,
+                                   event_ranges, max_steps, beam_width,
+                                   T_out=None):
+                # signal/events replicate (compact per-read arrays are small);
+                # the per-snippet index ranges shard, so each chip gathers and
+                # decodes only its row shard — per-chip this is the identical
+                # single-device program (incl. Pallas kernels)
+                body = lambda p, s, rr, ev, er, ms: _beam_compact(
+                    p, s, rr, ev, er, ms, beam_width, T_out=T_out)
+                return jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(), P("data"), P(), P("data"), P()),
+                    out_specs=P("data"), check_vma=False,
+                )(params, signal, raw_ranges, events, event_ranges, max_steps)
+
+            self._beam_compact_jit = jax.jit(
+                _beam_compact_mesh, static_argnames=("beam_width", "T_out"))
 
         def _beam_compact_packed(params, buf, S_b, E_b, beam_width, T_out,
                                  n_rows=None, stride=None):
@@ -471,6 +541,16 @@ class BasecallEngine:
                              "stride"))
 
     # ------------------------------------------------------------------
+    def _put(self, x):
+        """Device placement for host operands: replicated over the mesh in
+        sharded mode (the compact buffer is small; its broadcast rides ICI),
+        default placement otherwise."""
+        if self.mesh is not None:
+            from ravvent_tpu.parallel.mesh import replicated_sharding
+
+            return jax.device_put(x, replicated_sharding(self.mesh))
+        return jnp.asarray(x)
+
     def _ms_scalar(self, v: int):
         """Device-resident max_steps scalar, cached per value: even a 4-byte
         transfer pays the full fixed message latency (~30-45ms here), and
@@ -479,7 +559,7 @@ class BasecallEngine:
         if cache is None:
             cache = self._ms_cache = {}
         if v not in cache:
-            cache[v] = jnp.int32(v)
+            cache[v] = self._put(np.int32(v))
         return cache[v]
 
     @staticmethod
@@ -618,7 +698,7 @@ class BasecallEngine:
                     ev_lens.astype(np.uint16).view(np.uint8).reshape(-1))
                 off += E_b * 2
                 packed = self._beam_compact_packed_jit(
-                    self.params, jnp.asarray(buf), S_b, E_b, beam_width,
+                    self.params, self._put(buf), S_b, E_b, beam_width,
                     T_out=T_fetch, n_rows=slab, stride=int(aux["stride"]),
                 )
                 # Start the device->host copy as soon as the slab finishes:
@@ -681,7 +761,7 @@ class BasecallEngine:
             buf[off : off + slab * 8] = rr_l.view(np.uint8).reshape(-1)
             buf[off + slab * 8 :] = er_l.view(np.uint8).reshape(-1)
             packed = self._beam_compact_packed_jit(
-                self.params, jnp.asarray(buf), S_b, E_b, beam_width,
+                self.params, self._put(buf), S_b, E_b, beam_width,
                 T_out=T_fetch,
             )
             # fetch the full slab and drop pad rows on host: the extra pad
@@ -745,7 +825,7 @@ class BasecallEngine:
             rc, n = self._pad_chunk(raw[s : s + self.chunk_size])
             ec, _ = self._pad_chunk(event[s : s + self.chunk_size])
             toks, probs = self._beam_jit(
-                self.params, jnp.asarray(rc), jnp.asarray(ec),
+                self.params, self._put(rc), self._put(ec),
                 self._ms_scalar(max_output_len - 1), beam_width,
             )
             toks.copy_to_host_async()
@@ -765,7 +845,7 @@ class BasecallEngine:
             rc, n = self._pad_chunk(raw[s : s + self.chunk_size])
             ec, _ = self._pad_chunk(event[s : s + self.chunk_size])
             toks, logits = self._greedy_jit(
-                self.params, jnp.asarray(rc), jnp.asarray(ec),
+                self.params, self._put(rc), self._put(ec),
                 self._ms_scalar(max_output_len - 1),
             )
             toks.copy_to_host_async()

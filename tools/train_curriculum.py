@@ -1,0 +1,198 @@
+"""Staged-curriculum training + identity-based epoch selection, one process.
+
+The working recipe for this model family (docs/TRAINING.md): teacher-forced
+pretrain, scheduled-sampling fine-tune, then anneal the sampling probability —
+each stage warm-starts from the previous one (params AND optimizer moments),
+mirroring the reference's chained runs (reference: ravvent.py:57-59 resume
+pattern + rename_models.py epoch chaining). After the last stage, the final
+epochs are swept by held-out mapping identity (the reference's
+``evaluate_specific`` epoch sweep, ravvent_mapping_evaluator.py:203-237) and
+the best checkpoint is exported.
+
+One model, one command:
+  python tools/train_curriculum.py --dataset datasets/ref45 --tag ref45 \
+      --data-type joint --export checkpoints/ref45_joint
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+
+# (teacher_forcing, lr, epochs, steps_per_epoch) — docs/TRAINING.md curriculum
+DEFAULT_STAGES = [
+    (1.0, 2e-3, 10, 500),
+    (0.5, 5e-4, 12, 500),
+    (0.45, 1e-4, 12, 800),
+    (0.4, 7e-5, 12, 800),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--tag", required=True, help="dataset tag in run names")
+    ap.add_argument("--data-type", default="joint", choices=["raw", "event", "joint"])
+    ap.add_argument("--rnn-type", default="bilstm",
+                    choices=["gru", "lstm", "bigru", "bilstm"])
+    ap.add_argument("--enc-units", type=int, default=128)
+    ap.add_argument("--dec-units", type=int, default=128)
+    ap.add_argument("--encoder-depth", type=int, default=2)
+    ap.add_argument("--decoder-depth", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=22)
+    ap.add_argument("--stages", default=None,
+                    help="JSON [[tf, lr, epochs, steps], ...] overriding the default curriculum")
+    ap.add_argument("--sweep-epochs", type=int, default=10,
+                    help="trailing epochs swept by val mapping identity")
+    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--workdir", default=None,
+                    help="checkpoint/log root (default runs/<tag>.<type>...)")
+    ap.add_argument("--export", default=None,
+                    help="export the identity-best params here")
+    ap.add_argument("--init-from", default=None,
+                    help="params checkpoint to warm-start stage 1 from")
+    ap.add_argument("--skip-stages", type=int, default=0,
+                    help="skip the first N stages (resume with --init-from)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    from ravvent_tpu.config import DataConfig, ModelConfig, RunConfig, TrainConfig
+    from ravvent_tpu.data.generator import SnippetBatchGenerator
+    from ravvent_tpu.evaluation.basecall import BasecallEngine
+    from ravvent_tpu.evaluation.mapping import MappingEvaluator
+    from ravvent_tpu.training.checkpoints import CheckpointManager
+    from ravvent_tpu.training.loop import Trainer
+
+    stages = json.loads(args.stages) if args.stages else DEFAULT_STAGES
+    ds = Path(args.dataset)
+    mcfg = ModelConfig(
+        enc_units=args.enc_units, dec_units=args.dec_units,
+        encoder_depth=args.encoder_depth, decoder_depth=args.decoder_depth,
+        rnn_type=args.rnn_type, data_type=args.data_type,
+    )
+    name = (f"{args.tag}.{args.data_type}.{args.rnn_type}"
+            f".encd{args.encoder_depth}.decd{args.decoder_depth}")
+    workdir = Path(args.workdir or f"runs/{name}")
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    cache = str(ds / ".cache")
+    fi_train = ds / "train" / "files_info.snippets.stride_6.json"
+    fi_val = ds / "eval" / "files_info.val.snippets.stride_6.json"
+    dcfg = DataConfig(batch_size=args.batch_size)
+    gen = SnippetBatchGenerator.from_config(str(fi_train), dcfg, cache_dir=cache)
+    val_gen = (SnippetBatchGenerator.from_config(str(fi_val), dcfg, cache_dir=cache)
+               if fi_val.exists() else None)
+
+    print(f"curriculum {name}: {len(stages)} stages on {jax.devices()}", flush=True)
+    cm = CheckpointManager(str(workdir))
+    params = opt_state = rng = None
+    if args.init_from:
+        from ravvent_tpu.models.basecaller import init_basecaller
+
+        init = Path(args.init_from)
+        template = {"params": init_basecaller(jax.random.PRNGKey(0), mcfg)}
+        params = CheckpointManager(str(init.parent)).restore(
+            init.name, template=template)["params"]
+        print(f"warm-started from {init}", flush=True)
+
+    epoch_ckpts = []  # (global_epoch, checkpoint_path)
+    history_all = []
+    epoch_base = 0
+    t_start = time.time()
+    for si, (tf, lr, n_epochs, spe) in enumerate(stages):
+        if si < args.skip_stages:
+            epoch_base += n_epochs
+            continue
+        cfg = RunConfig(
+            data=dcfg, model=mcfg,
+            train=TrainConfig(
+                teacher_forcing=tf, learning_rate=lr, batch_size=args.batch_size,
+                epochs=epoch_base + n_epochs, steps_per_epoch=spe,
+                validation_steps=8, random_seed=args.seed,
+                dataset_tag=args.tag, checkpoint_dir=str(workdir),
+                info_dir=str(workdir),
+            ),
+        )
+        trainer = Trainer(cfg)
+        if params is not None:
+            trainer.params = params
+        if opt_state is not None:
+            trainer.opt_state = opt_state  # carry Adam moments across stages
+        if rng is not None:
+            trainer.rng = rng
+        print(f"--- stage {si + 1}/{len(stages)}: tf={tf} lr={lr} "
+              f"{n_epochs}x{spe} ---", flush=True)
+        hist = trainer.fit(
+            gen, val_gen,
+            epochs=epoch_base + n_epochs, steps_per_epoch=spe,
+            validation_steps=8, initial_epoch=epoch_base,
+            csv_log_path=str(workdir / f"csvlog.{cfg.run_name}.log"),
+            checkpoint_manager=cm,
+        )
+        history_all.append({"stage": si, "tf": tf, "lr": lr, **hist})
+        for e in range(epoch_base + 1, epoch_base + n_epochs + 1):
+            epoch_ckpts.append((e, cfg.checkpoint_path(e)))
+        params, opt_state, rng = trainer.params, trainer.opt_state, trainer.rng
+        epoch_base += n_epochs
+
+    print(f"training done in {time.time() - t_start:.0f}s", flush=True)
+
+    # ---- identity epoch sweep over the trailing checkpoints ----
+    sweep = epoch_ckpts[-args.sweep_epochs:] if args.sweep_epochs else []
+    best = None
+    sweep_rows = []
+    if sweep and fi_val.exists():
+        from ravvent_tpu.models.basecaller import init_basecaller
+
+        template = {"params": init_basecaller(jax.random.PRNGKey(0), mcfg)}
+        for epoch, path in sweep:
+            p = cm.restore(path, template=template)["params"]
+            engine = BasecallEngine(p, mcfg, chunk_size=1024)
+            ev = MappingEvaluator(engine, beam_width=args.beam, cache_dir=cache)
+            res_path = workdir / f"val_sweep.epoch{epoch:02d}.json"
+            ev.evaluate_files(str(fi_val), res_path, verbose=False)
+            total, valid, invalid = ev.compute_total_results(res_path)
+            sweep_rows.append({"epoch": epoch, "identity_total": total,
+                               "identity_valid": valid, "invalid_pct": invalid})
+            print(f"epoch {epoch}: val identity {total} ({invalid}% invalid)",
+                  flush=True)
+            if best is None or total > best[1]:
+                best = (epoch, total, path, p)
+
+    summary = {
+        "name": name,
+        "stages": stages,
+        "history": history_all,
+        "epoch_sweep": sweep_rows,
+        "best_epoch": best[0] if best else None,
+        "best_val_identity": best[1] if best else None,
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    (workdir / "curriculum_summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps({k: summary[k] for k in
+                      ("name", "best_epoch", "best_val_identity", "wall_s")}))
+
+    if args.export:
+        out = Path(args.export)
+        exp_params = best[3] if best else params
+        exp_epoch = best[0] if best else epoch_base
+        cm2 = CheckpointManager(str(out.parent))
+        cm2.save(out.name, exp_params, epoch=exp_epoch)
+        print(f"exported epoch {exp_epoch} -> {out}")
+
+
+if __name__ == "__main__":
+    main()
