@@ -49,26 +49,54 @@ DETAILS_FILE = REPO / "BENCH_DETAILS.json"
 CHECKPOINT_DIR = REPO / "checkpoints" / "flagship"
 
 N_READS = 4
+N_STREAM_READS = 12
 READ_LEN = (12000, 18000)
 DATA_SEED = 1234
 
 
+def _bench_genome():
+    """The reference's committed 2048-6-mer EVAL genome (the flagship's
+    held-out genome, data/simulator/reduced/seq.43.300000.2048.eval.fasta);
+    falls back to the same-recipe generated genome when the reference
+    checkout is absent."""
+    from ravvent_tpu.data import simulator
+
+    ref = Path(os.environ.get(
+        "RAVVENT_REF_REDUCED_DIR", "/root/reference/data/simulator/reduced"
+    )) / "seq.43.300000.2048.eval.fasta"
+    if ref.exists():
+        return "".join(seq for _, seq in simulator.read_fasta(ref)), "ref2048.eval"
+    rng = np.random.default_rng(7)
+    return simulator.generate_reduced_genome(43, 300_000, rng), "generated-2048"
+
+
 def ensure_dataset():
+    """Held-out bench reads (realistic signal profile, disjoint from the
+    training/eval read seeds): N_READS for the sequential reference-parity
+    partition + identity, and a separate N_STREAM_READS of DISTINCT reads
+    for the pipelined steady-state measurement (a repeated short list with a
+    warm cache flatters the pipeline — every read must be distinct)."""
     from ravvent_tpu.data import chiron, simulator
 
     fi = BENCH_DATA / "files_info.snippets.stride_6.json"
-    if fi.exists():
-        return fi
-    # Same genome recipe as the canonical training set (tools/make_dataset.py
-    # defaults, reference reduced-vocabulary protocol: 43 base 6-mers, seed 7)
-    # but held-out reads, so identity is meaningful for the trained flagship.
-    rng = np.random.default_rng(7)
-    genome = simulator.generate_reduced_genome(43, 300_000, rng)
+    fi_stream = BENCH_DATA / "stream" / "files_info.snippets.stride_6.json"
+    if fi.exists() and fi_stream.exists():
+        return fi, fi_stream
+    genome, tag = _bench_genome()
+    print(f"bench dataset: {tag} genome, realistic profile", file=sys.stderr)
     simulator.generate_chiron_dataset(
         BENCH_DATA, genome, n_reads=N_READS, read_len_range=READ_LEN,
-        seed=DATA_SEED, noise_std=9.0,
+        seed=DATA_SEED, profile=simulator.REALISTIC,
     )
-    return chiron.create_files_info(BENCH_DATA, stride=6, verbose=False)
+    fi = chiron.create_files_info(BENCH_DATA, stride=6, verbose=False)
+    simulator.generate_chiron_dataset(
+        BENCH_DATA / "stream", genome, n_reads=N_STREAM_READS,
+        read_len_range=READ_LEN, seed=DATA_SEED + 1,
+        profile=simulator.REALISTIC,
+    )
+    fi_stream = chiron.create_files_info(
+        BENCH_DATA / "stream", stride=6, verbose=False)
+    return fi, fi_stream
 
 
 def load_flagship():
@@ -105,7 +133,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
     from ravvent_tpu.evaluation.mapping import MappingEvaluator
     from ravvent_tpu.evaluation.performance import PerformanceEvaluator
 
-    fi = ensure_dataset()
+    fi, fi_stream = ensure_dataset()
     cfg, params, trained = load_flagship()
     if beam_impl != "xla" and jax.default_backend() not in ("tpu", "axon"):
         beam_impl = "xla"  # pallas kernels target TPU; CPU baseline stays XLA
@@ -169,13 +197,17 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
 
     # Pipelined (production) throughput: reads overlap — read k+1 loads and
     # dispatches while read k computes and read k-1 merges. Measured over a
-    # 3x-repeated read stream so pipeline fill/drain edges amortize (the
-    # steady state a production stream of reads would see); min over passes
-    # (steady state on a shared link).
-    with open(fi) as f:
-        paths = [v["signal_path"] for v in json.load(f)]
+    # stream of DISTINCT held-out reads (12 reads, ~170k bases) so the
+    # number reflects a production stream rather than a repeated cached
+    # read list; min-wall over passes (steady state on a shared link; the
+    # preprocessing cache is warm after pass 1, but load overlaps device
+    # compute in the pipeline, so the warm-cache effect on the wall is the
+    # pipeline's to hide).
+    with open(fi_stream) as f:
+        stream = [v["signal_path"] for v in json.load(f)]
     passes = 1 if jax.default_backend() == "cpu" else 3
-    stream = paths if jax.default_backend() == "cpu" else paths * 3
+    if jax.default_backend() == "cpu":
+        stream = stream[:4]
     pipe = min((pe.run_pipelined(stream, inflight=8, finishers=4)
                 for _ in range(passes)),
                key=lambda r: r["wall_s"])

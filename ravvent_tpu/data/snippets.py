@@ -279,8 +279,10 @@ def load_read_compact_ex(
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
+        st = os.stat(signal_path)
         key = hashlib.sha1(
-            f"compact3|{Path(signal_path).resolve()}|{stride}|{max_target_len}".encode()
+            f"compact3|{Path(signal_path).resolve()}|{stride}|{max_target_len}"
+            f"|{st.st_size}|{int(st.st_mtime)}".encode()
         ).hexdigest()[:16]
         cache_path = Path(cache_dir) / f"{Path(signal_path).stem}.{key}.npz"
         if cache_path.exists():
@@ -339,8 +341,10 @@ def load_read_snippets(
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
+        st = os.stat(signal_path)
         key = hashlib.sha1(
-            f"{Path(signal_path).resolve()}|{stride}|{max_target_len}".encode()
+            f"{Path(signal_path).resolve()}|{stride}|{max_target_len}"
+            f"|{st.st_size}|{int(st.st_mtime)}".encode()
         ).hexdigest()[:16]
         cache_path = Path(cache_dir) / f"{Path(signal_path).stem}.{key}.npz"
         if cache_path.exists():

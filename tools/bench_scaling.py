@@ -53,10 +53,21 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--data-dir", default=str(REPO / ".bench_scaling_data"))
+    ap.add_argument("--pipelined", action="store_true",
+                    help="measure the pipelined read stream per mesh size "
+                         "(steady-state production number) instead of the "
+                         "sequential per-read partition")
+    ap.add_argument("--compare-single", action="store_true",
+                    help="also run the plain single-device engine to report "
+                         "the mesh wrapper's n=1 overhead (the 'per-chip "
+                         "throughput within ~10%% of single-chip' check)")
     args = ap.parse_args()
+
+    import jax.numpy as jnp  # noqa: E402
 
     from ravvent_tpu.config import ModelConfig
     from ravvent_tpu.data import chiron, simulator
+    from ravvent_tpu.evaluation.basecall import BasecallEngine
     from ravvent_tpu.evaluation.performance import PerformanceEvaluator
     from ravvent_tpu.models.basecaller import init_basecaller
     from ravvent_tpu.parallel.inference import ShardedBasecallEngine
@@ -90,21 +101,47 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"warning: checkpoint load failed: {e}", file=sys.stderr)
 
+    # full fast-path configuration (the sharded engine runs the identical
+    # single-device program per chip); Pallas beam kernels only on TPU
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    fast = dict(
+        transport_dtype="i8dev", pack_u8=True, prob_bits=4,
+        project_values=True,
+        beam_impl="step" if on_tpu else "xla",
+        memory_dtype=jnp.bfloat16 if on_tpu else None,
+        encoder_dtype=jnp.bfloat16 if on_tpu else None,
+    )
+
+    with open(fi) as f:
+        paths = [v["signal_path"] for v in json.load(f)]
+
+    def measure(engine, tag):
+        pe = PerformanceEvaluator(
+            engine, beam_width=args.beam, cache_dir=str(data_dir / "cache"))
+        if args.pipelined:
+            rec = min((pe.run_pipelined(paths * 3) for _ in range(2)),
+                      key=lambda r: r["wall_s"])
+            return rec["bases_per_s"]
+        results = pe.evaluate_files(
+            fi, data_dir / f"perf_{tag}.json", verbose=False, repeats=3)
+        bases = sum(r["bases_num"] for r in results)
+        t = sum(r["total_processing"] for r in results)
+        return bases / t
+
     sizes = [int(s) for s in args.sizes.split(",")]
     n_avail = len(jax.devices())
     sizes = [s for s in sizes if s <= n_avail]
     rows = []
+    single = None
+    if args.compare_single:
+        engine = BasecallEngine(params, cfg, chunk_size=args.chunk, **fast)
+        single = measure(engine, "single")
+        print(f"plain single-device engine: {single:.1f} bases/s")
     for n in sizes:
         mesh = make_mesh(n)
         engine = ShardedBasecallEngine(
-            params, cfg, mesh, chunk_size=args.chunk)
-        pe = PerformanceEvaluator(
-            engine, beam_width=args.beam, cache_dir=str(data_dir / "cache"))
-        results = pe.evaluate_files(
-            fi, data_dir / f"perf_mesh{n}.json", verbose=False, repeats=3)
-        bases = sum(r["bases_num"] for r in results)
-        t = sum(r["total_processing"] for r in results)
-        rows.append({"mesh": n, "bases_per_s": bases / t})
+            params, cfg, mesh, chunk_size=args.chunk, **fast)
+        rows.append({"mesh": n, "bases_per_s": measure(engine, f"mesh{n}")})
 
     base = rows[0]["bases_per_s"]
     print(f"{'mesh':>5} {'bases/s':>12} {'speedup':>8} {'efficiency':>10}")
@@ -114,11 +151,17 @@ def main() -> None:
         r["speedup"] = round(sp, 2)
         r["efficiency"] = round(eff, 3)
         print(f"{r['mesh']:>5} {r['bases_per_s']:>12.1f} {sp:>8.2f} {eff:>10.3f}")
-    print(json.dumps({
+    out = {
         "metric": "scaling sweep (sharded inference)",
         "device": str(jax.devices()[0]),
+        "pipelined": args.pipelined,
         "rows": rows,
-    }))
+    }
+    if single is not None:
+        out["single_device_bases_per_s"] = single
+        out["mesh1_vs_single"] = round(rows[0]["bases_per_s"] / single, 3) \
+            if rows and rows[0]["mesh"] == 1 else None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -51,7 +51,7 @@ def main() -> None:
     from ravvent_tpu.evaluation.basecall import BasecallEngine
     from ravvent_tpu.evaluation.performance import PerformanceEvaluator
 
-    fi = bench.ensure_dataset()
+    fi, fi_stream = bench.ensure_dataset()
     cfg, params, _ = bench.load_flagship()
     # Pallas beam kernels target TPU; mirror bench.py's backend guard so the
     # sweep still runs on a CPU backend (e.g. during a tunnel outage).
@@ -78,7 +78,9 @@ def main() -> None:
 
     pe = PerformanceEvaluator(eng, beam_width=args.beam,
                               cache_dir=str(REPO / ".bench_data" / "cache"))
-    with open(fi) as f:
+    # the distinct-read stream set (12 reads), like bench.py's pipelined
+    # measurement — repeated short lists flatter the pipeline
+    with open(fi_stream) as f:
         paths = [v["signal_path"] for v in json.load(f)]
 
     rows = []
