@@ -179,3 +179,64 @@ def plot_accuracy_bars(
         fig.savefig(out, dpi=150, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+# Reference thesis headline curve: test accuracy vs #distinct 6-mers on the
+# reduced-simulator sets (reference: make_plots.py:54-78, hard-coded values;
+# guppy from make_plots.py:60). Keys are distinct-6-mer counts.
+REFERENCE_REDUCED_ACCS = {
+    "raw": {45: 0.9557888274973054, 450: 0.9165415772299397,
+            1024: 0.9047021978693855, 2048: 0.8721022707489905,
+            4096: 0.7893045198856405},
+    "event": {45: 0.9499866626024884, 450: 0.9103404033787701,
+              1024: 0.8924013682974483, 2048: 0.7982214934080496,
+              4096: 0.6285224738382291},
+    "joint": {45: 0.9648854692249131, 450: 0.9315182947112179,
+              1024: 0.92731976799608, 2048: 0.9114789653329526,
+              4096: 0.7822268080455914},
+    "guppy": {45: 0.919906, 450: 0.922886, 1024: 0.926774,
+              2048: 0.911608, 4096: 0.922477},
+}
+
+
+def plot_accuracy_vs_kmers(
+    ours: Dict[str, Dict[int, float]],
+    show_reference: bool = True,
+    title: str = "",
+    out: Optional[str] = None,
+):
+    """Accuracy vs fraction-of-appearing-6-mers difficulty curve
+    (reference: make_plots.py:54-78).
+
+    ``ours`` maps modality -> {vocab_size: identity in [0,1]}. The
+    reference's committed curve (and the guppy baseline) is drawn dashed
+    for visual comparison — the underlying protocols differ (see
+    results/REF_SWEEP.md caveats), so this is orientation, not a contest.
+    """
+    colors = {"raw": "tab:red", "event": "tab:blue", "joint": "tab:green"}
+    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+    for mod, series in ours.items():
+        ks = sorted(series)
+        ax.plot([k / 4096 for k in ks], [series[k] for k in ks],
+                marker="o", label=f"{mod} (this work)",
+                color=colors.get(mod, "black"))
+    if show_reference:
+        for mod, series in REFERENCE_REDUCED_ACCS.items():
+            ks = sorted(series)
+            style = dict(linestyle="dotted", color="purple") if mod == "guppy" \
+                else dict(linestyle="dashed", color=colors.get(mod, "gray"), alpha=0.6)
+            ax.plot([k / 4096 for k in ks], [series[k] for k in ks],
+                    label=(f"{mod} (reference)" if mod != "guppy" else "ONT guppy (ref)"),
+                    **style)
+    ax.set_xlabel("Fraction of all appearing 6-mers")
+    ax.set_ylabel("Test identity / accuracy")
+    ax.set_ylim((0.55, 1.0))
+    ax.set_xlim((0, 1.02))
+    ax.grid(True, alpha=0.3)
+    ax.legend(loc="lower left", fontsize=8)
+    if title:
+        ax.set_title(title)
+    if out:
+        fig.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+    return fig

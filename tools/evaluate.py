@@ -32,9 +32,15 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="checkpoints/flagship")
-    ap.add_argument("--files-info", required=True)
+    ap.add_argument("--files-info", default=None)
+    ap.add_argument("--eval", action="append", default=[],
+                    help="additional TAG:FILES_INFO[:CACHE_DIR] evaluations "
+                         "run in the same process (amortizes compiles)")
     ap.add_argument("--data-type", default="joint", choices=["raw", "event", "joint"])
-    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--beam", type=int, default=None,
+                    help="single beam width (default: use --beams)")
+    ap.add_argument("--beams", default="5",
+                    help="comma-separated beam widths, e.g. 5,1")
     ap.add_argument("--enc-units", type=int, default=128)
     ap.add_argument("--dec-units", type=int, default=128)
     ap.add_argument("--encoder-depth", type=int, default=2)
@@ -66,27 +72,43 @@ def main():
         print("WARNING: random weights (checkpoint missing)", file=sys.stderr)
 
     engine = BasecallEngine(params, cfg, chunk_size=1024)
-    ev = MappingEvaluator(engine, beam_width=args.beam, cache_dir=args.cache_dir)
+
+    # evaluation plan: (tag, files_info, cache_dir) x beam widths
+    plan = []
+    if args.files_info:
+        plan.append((args.tag, args.files_info, args.cache_dir))
+    for spec in args.eval:
+        parts = spec.split(":")
+        tag, fi = parts[0], parts[1]
+        cache = parts[2] if len(parts) > 2 else args.cache_dir
+        plan.append((tag, fi, cache))
+    if not plan:
+        ap.error("need --files-info or at least one --eval TAG:FILES_INFO")
+    beams = [args.beam] if args.beam else [int(b) for b in args.beams.split(",")]
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     depth_key = f"({args.encoder_depth}, {args.decoder_depth})"
-    res_path = out_dir / (
-        f"mapping_evaluator_results.{args.tag}.{args.data_type}."
-        f"encd{args.encoder_depth}.decd{args.decoder_depth}.beam{args.beam}.json"
-    )
-    ev.evaluate_files(args.files_info, res_path)
-    total, valid, invalid = ev.compute_total_results(res_path)
-    print(f"identity total/valid/invalid%: {total} / {valid} / {invalid}")
+    for beam in beams:
+        for tag, files_info, cache in plan:
+            ev = MappingEvaluator(engine, beam_width=beam, cache_dir=cache)
+            res_path = out_dir / (
+                f"mapping_evaluator_results.{tag}.{args.data_type}."
+                f"encd{args.encoder_depth}.decd{args.decoder_depth}.beam{beam}.json"
+            )
+            ev.evaluate_files(files_info, res_path)
+            total, valid, invalid = ev.compute_total_results(res_path)
+            print(f"[{tag} beam{beam}] identity total/valid/invalid%: "
+                  f"{total} / {valid} / {invalid}")
 
-    # fold into the reference's accuracy_results_all schema
-    all_path = out_dir / f"accuracy_results_all.{args.tag}.beam{args.beam}.json"
-    all_res = {}
-    if all_path.exists():
-        all_res = json.loads(all_path.read_text())
-    all_res.setdefault(depth_key, {})[args.data_type] = [total, valid, invalid]
-    all_path.write_text(json.dumps(all_res, indent=2))
-    print(f"aggregated -> {all_path}")
+            # fold into the reference's accuracy_results_all schema
+            all_path = out_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
+            all_res = {}
+            if all_path.exists():
+                all_res = json.loads(all_path.read_text())
+            all_res.setdefault(depth_key, {})[args.data_type] = [total, valid, invalid]
+            all_path.write_text(json.dumps(all_res, indent=2))
+            print(f"aggregated -> {all_path}")
 
 
 if __name__ == "__main__":

@@ -130,9 +130,37 @@ def build_ref_reduced(out_dir, vocab_size, train_reads=None, eval_reads=8,
     )
 
 
+def build_cross_eval(out_dir, src_dataset, n_reads=8, genome_len=300_000,
+                     read_len=(6000, 10000), seed=107, profile="realistic"):
+    """Eval-only cross-genome dataset: a fresh genome drawn from the SOURCE
+    dataset's base-6-mer vocabulary (the lambda→ecoli transfer analog —
+    real genomes share their 6-mer vocabulary, so cross-genome eval tests
+    sequence generalization, not out-of-vocabulary k-mers). Layout:
+    ``<out>/test/files_info.snippets.stride_6.json`` (test split only)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    src = Path(src_dataset)
+    src_genome = "".join(s for _, s in simulator.read_fasta(src / "genome.train.fasta"))
+    vocab = simulator.base_kmer_vocab(src_genome)
+    genome = simulator.genome_from_vocab(vocab, genome_len, rng)
+    simulator.write_fasta(out / "genome.fasta", f"cross.{src.name}", genome)
+    prof = simulator.PROFILES[profile] if isinstance(profile, str) else profile
+    simulator.generate_chiron_dataset(
+        out / "test", genome, n_reads=n_reads, read_len_range=read_len,
+        seed=seed + 1, noise_std=9.0, profile=prof,
+    )
+    fi = chiron.create_files_info(out / "test", stride=6, verbose=False)
+    print(f"cross-eval test index: {fi} ({len(vocab)} base 6-mers from {src})")
+    return fi
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="datasets/sim_lambda")
+    ap.add_argument("--cross-from", default=None,
+                    help="build an eval-only cross-genome dataset drawn from "
+                         "this source dataset's base-6-mer vocabulary")
     ap.add_argument("--ref-reduced", type=int, default=0,
                     choices=[0] + sorted(REF_REDUCED_SETS),
                     help="use the reference's committed reduced genome set "
@@ -150,7 +178,12 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
     profile = None if args.profile == "legacy" else args.profile
-    if args.ref_reduced:
+    if args.cross_from:
+        build_cross_eval(
+            args.out, args.cross_from, n_reads=args.eval_reads,
+            genome_len=args.genome_len, seed=args.seed + 100, profile=profile,
+        )
+    elif args.ref_reduced:
         build_ref_reduced(
             args.out, args.ref_reduced,
             train_reads=args.train_reads or None, eval_reads=args.eval_reads,
