@@ -59,9 +59,36 @@ CLEAN = SimProfile(
     name="clean", dwell_min=4, kmer_noise_sigma=0.0, level_jitter=0.0,
     filter_alpha=1.0, stall_prob=0.0, skip_prob=0.0, drift_std=0.0,
 )
-REALISTIC = SimProfile()
+# Realism ladder: each rung adds one family of physical effects on top of
+# the previous one, so the noise-sweep table isolates which effect costs
+# how much identity (DeepSimulator's realism role in the reference,
+# data/generate_simulator_reduced.py:75-77). ``harsh`` is the round-2
+# original "realistic" parameterization, kept as the stress bound.
+LOWPASS = SimProfile(
+    name="lowpass", dwell_min=4, kmer_noise_sigma=0.0, level_jitter=0.0,
+    filter_alpha=0.5, stall_prob=0.0, skip_prob=0.0, drift_std=0.0,
+)
+NOISY = SimProfile(
+    name="noisy", dwell_min=4, kmer_noise_sigma=0.25, level_jitter=2.0,
+    filter_alpha=0.5, stall_prob=0.0, skip_prob=0.0, drift_std=4.0,
+)
+DYNAMIC = SimProfile(
+    name="dynamic", dwell_min=2, kmer_noise_sigma=0.25, level_jitter=2.0,
+    filter_alpha=0.5, stall_prob=0.01, stall_scale=3.0, skip_prob=0.015,
+    drift_std=4.0,
+)
+HARSH = SimProfile(name="harsh")
+REALISTIC = HARSH
 
-PROFILES = {"clean": CLEAN, "realistic": REALISTIC}
+PROFILES = {
+    "clean": CLEAN, "lowpass": LOWPASS, "noisy": NOISY, "dynamic": DYNAMIC,
+    "harsh": HARSH,
+    # round-2 alias: "realistic" was the original name of the harshest rung
+    "realistic": HARSH,
+}
+
+# ordered mild -> harsh, for the noise-sweep ladder
+LADDER = ["clean", "lowpass", "noisy", "dynamic", "harsh"]
 
 
 class PoreModel:

@@ -81,7 +81,7 @@ def test_dataset_meta_records_profile(tmp_path):
         profile=simulator.REALISTIC,
     )
     meta = json.loads((tmp_path / "dataset_meta.json").read_text())
-    assert meta["profile"]["name"] == "realistic"
+    assert meta["profile"]["name"] == "harsh"
     # reads parse back through the chiron loader
     pairs = chiron.list_read_pairs(tmp_path)
     assert len(pairs) == 2

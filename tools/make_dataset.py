@@ -64,13 +64,22 @@ def load_ref_reduced_genomes(vocab_size: int):
 
 def build(out_dir, n_kmers=0, genome_len=300_000, train_reads=24, eval_reads=8,
           read_len=(6000, 10000), noise_std=9.0, seed=7, profile=None,
-          train_genome=None, eval_genome=None, genome_name=None):
+          train_genome=None, eval_genome=None, genome_name=None,
+          cross_genome=None):
     """Write a chiron train/val/test dataset under ``out_dir``.
 
-    With explicit ``train_genome``/``eval_genome`` strings, reads are sampled
-    from each respectively (the reference's protocol: separate genomes per
-    split). Otherwise one genome is generated and both splits sample
-    (disjoint) reads from it.
+    Train and val/test reads are all sampled from ``train_genome`` (held-out
+    READS, not a held-out genome) — this is the reference's evaluation
+    semantics: its lambda/ecoli identity tables score test READS of the same
+    genome the training reads came from (train_val_test_split of one file
+    set, reference: utils.py:45-69, data_loader.py:158-177), and its
+    reduced-simulator curve scores a test split of one simulation run
+    (make_plots.py:160 ``...4096.new_padding...test.dataset``).
+
+    ``cross_genome`` additionally writes a ``cross/`` split of reads from a
+    DIFFERENT genome (the reference's committed ``.eval`` genome, or the
+    lambda→ecoli transfer analog) — a stricter, separate generalization
+    metric.
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -87,6 +96,9 @@ def build(out_dir, n_kmers=0, genome_len=300_000, train_reads=24, eval_reads=8,
                           f"{genome_name or 'genome'}.train", train_genome)
     simulator.write_fasta(out / "genome.eval.fasta",
                           f"{genome_name or 'genome'}.eval", eval_genome)
+    if cross_genome is not None:
+        simulator.write_fasta(out / "genome.cross.fasta",
+                              f"{genome_name or 'genome'}.cross", cross_genome)
 
     prof = simulator.PROFILES[profile] if isinstance(profile, str) else profile
     simulator.generate_chiron_dataset(
@@ -105,6 +117,14 @@ def build(out_dir, n_kmers=0, genome_len=300_000, train_reads=24, eval_reads=8,
     val_path, test_path = chiron.split_eval_files_info_into_test_validation(
         0.25, str(eval_named), seed=seed
     )
+    if cross_genome is not None:
+        simulator.generate_chiron_dataset(
+            out / "cross", cross_genome, n_reads=eval_reads,
+            read_len_range=read_len, seed=seed + 3, noise_std=noise_std,
+            profile=prof,
+        )
+        fi_cross = chiron.create_files_info(out / "cross", stride=6, verbose=False)
+        print(f"cross index: {fi_cross}")
     print(f"train index: {fi_train}")
     print(f"val index:   {val_path}")
     print(f"test index:  {test_path}")
@@ -121,12 +141,13 @@ def build_ref_reduced(out_dir, vocab_size, train_reads=None, eval_reads=8,
     if train_reads is None:
         mean_len = (read_len[0] + read_len[1]) / 2
         train_reads = int(min(320, max(16, round(coverage * len(tg) / mean_len))))
-    print(f"{name}: train genome {len(tg)}bp -> {train_reads} reads; "
-          f"eval genome {len(eg)}bp -> {eval_reads} reads; profile={profile}")
+    print(f"{name}: train genome {len(tg)}bp -> {train_reads} train reads + "
+          f"{eval_reads} held-out reads; cross genome {len(eg)}bp -> "
+          f"{eval_reads} reads; profile={profile}")
     return build(
         out_dir, train_reads=train_reads, eval_reads=eval_reads,
         read_len=read_len, seed=seed, profile=profile,
-        train_genome=tg, eval_genome=eg, genome_name=name,
+        train_genome=tg, eval_genome=tg, cross_genome=eg, genome_name=name,
     )
 
 

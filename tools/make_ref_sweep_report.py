@@ -1,22 +1,23 @@
-"""Aggregate the reference-anchored difficulty sweep into a report + figure.
+"""Aggregate the reference-anchored difficulty sweep into a report + figures.
 
 The reference's headline simulator experiment is the accuracy-vs-#distinct-
 6-mers curve over its five committed reduced-vocabulary genome sets
 (reference: make_plots.py:54-78; genomes data/simulator/reduced/*.fasta,
-built by data/generate_simulator_reduced.py:86-106). tools/run_ref_sweep.sh
-trains one model per set (joint curriculum; raw/event warm-started) and
-evaluates all three modalities at beams 5 and 1 into
-``results/ref_sweep/accuracy_results_all.ref<V>.beam<K>.json``.
+built by data/generate_simulator_reduced.py:86-106). That curve's metric is
+model TEST ACCURACY (a token-level test-split score; the curve's models
+predate the mapping evaluator — make_plots.py:160), so this report leads
+with our token test accuracy and carries merged-read mapping identity as the
+stricter end-to-end metric alongside.
 
-This tool folds those JSONs into:
-  - results/REF_SWEEP.md         — tables + explicit protocol caveats
-  - results/ref_sweep/accuracy_vs_kmers.png — our curve vs the reference's
+Inputs (produced by tools/run_ref_sweep.sh + tools/eval_daemon.py):
+  results/ref_sweep/token_acc.ref<V>.json
+  results/ref_sweep/accuracy_results_all.ref<V>.beam<K>.json       (test)
+  results/ref_sweep/accuracy_results_all.ref<V>cross.beam<K>.json  (cross)
 
-Honest-labeling contract (VERDICT round-1): our numbers come from the
-built-in realistic-profile simulator (not DeepSimulator) and the built-in
-seed-chain-extend local mapper (not minimap2), on the reference's exact
-train/eval genomes. Same genomes, same task shape — different signal source
-and mapper, so curves are anchored but not bit-comparable.
+Outputs:
+  results/REF_SWEEP.md
+  results/ref_sweep/accuracy_vs_kmers.png      (token acc vs reference curve)
+  results/ref_sweep/identity_vs_kmers.png      (mapping identity, ours only)
 
   python tools/make_ref_sweep_report.py [--results-dir results/ref_sweep]
 """
@@ -35,35 +36,61 @@ VOCABS = [45, 450, 1024, 2048, 4096]
 MODS = ["raw", "event", "joint"]
 
 
-def load_sweep(results_dir: Path, beam: int):
+def load_identity(results_dir: Path, beam: int, cross: bool = False):
     """-> {mod: {vocab: [total, valid, invalid%]}} for one beam width."""
     out = {m: {} for m in MODS}
     for v in VOCABS:
-        p = results_dir / f"accuracy_results_all.ref{v}.beam{beam}.json"
+        tag = f"ref{v}cross" if cross else f"ref{v}"
+        p = results_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
         if not p.exists():
             continue
-        data = json.loads(p.read_text())
-        for depth_key, cells in data.items():
+        for cells in json.loads(p.read_text()).values():
             for mod, triple in cells.items():
                 if mod in out:
                     out[mod][v] = triple
     return out
 
 
-def fmt_table(sweep, ref_curve):
-    lines = ["| #6-mers | raw | event | joint | reference joint | ONT guppy (ref) |",
-             "|---|---|---|---|---|---|"]
+def load_token_acc(results_dir: Path):
+    """-> {mod: {vocab: {"strict": x, "val_style": y}}}"""
+    out = {m: {} for m in MODS}
+    for v in VOCABS:
+        p = results_dir / f"token_acc.ref{v}.json"
+        if not p.exists():
+            continue
+        for cells in json.loads(p.read_text()).values():
+            for mod, d in cells.items():
+                if mod in out:
+                    out[mod][v] = d
+    return out
+
+
+def token_table(tok):
     from ravvent_tpu.tools.plots import REFERENCE_REDUCED_ACCS
 
+    lines = ["| #6-mers | raw | event | joint | ref raw | ref event | ref joint | ONT guppy |",
+             "|---|---|---|---|---|---|---|---|"]
     for v in VOCABS:
         cells = []
         for mod in MODS:
-            t = sweep[mod].get(v)
-            cells.append(f"{t[0]:.1f}" if t else "—")
-        rj = REFERENCE_REDUCED_ACCS["joint"][v] * 100
-        g = REFERENCE_REDUCED_ACCS["guppy"][v] * 100
-        lines.append(f"| {v} | {cells[0]} | {cells[1]} | {cells[2]} |"
-                     f" {rj:.1f} | {g:.1f} |")
+            d = tok[mod].get(v)
+            cells.append(f"{d['strict']:.3f}" if d else "—")
+        refs = [f"{REFERENCE_REDUCED_ACCS[m][v]:.3f}" for m in MODS]
+        g = REFERENCE_REDUCED_ACCS["guppy"][v]
+        lines.append(f"| {v} | {' | '.join(cells)} | {' | '.join(refs)} | {g:.3f} |")
+    return "\n".join(lines)
+
+
+def identity_table(test, cross):
+    lines = ["| #6-mers | raw | event | joint | raw (cross) | event (cross) | joint (cross) |",
+             "|---|---|---|---|---|---|---|"]
+    for v in VOCABS:
+        cells = []
+        for src in (test, cross):
+            for mod in MODS:
+                t = src[mod].get(v)
+                cells.append(f"{t[0]:.1f}" if t else "—")
+        lines.append(f"| {v} | {' | '.join(cells)} |")
     return "\n".join(lines)
 
 
@@ -76,60 +103,85 @@ def main():
     from ravvent_tpu.tools.plots import plot_accuracy_vs_kmers
 
     rdir = Path(args.results_dir)
-    sweep5 = load_sweep(rdir, 5)
-    sweep1 = load_sweep(rdir, 1)
-    n_cells = sum(len(s) for s in sweep5.values())
-    if n_cells == 0:
+    tok = load_token_acc(rdir)
+    id5 = load_identity(rdir, 5)
+    id1 = load_identity(rdir, 1)
+    id5x = load_identity(rdir, 5, cross=True)
+    n_cells = sum(len(s) for s in tok.values())
+    if n_cells == 0 and not any(id5[m] for m in MODS):
         print("no sweep results yet", file=sys.stderr)
         return 1
 
-    fig_path = rdir / "accuracy_vs_kmers.png"
-    ours = {m: {v: t[0] / 100.0 for v, t in sweep5[m].items()} for m in MODS
-            if sweep5[m]}
-    plot_accuracy_vs_kmers(
-        ours, title="Reduced-genome difficulty sweep (beam 5)",
-        out=str(fig_path))
+    if n_cells:
+        plot_accuracy_vs_kmers(
+            {m: {v: d["strict"] for v, d in tok[m].items()} for m in MODS if tok[m]},
+            title="Reduced-genome difficulty sweep — token test accuracy",
+            out=str(rdir / "accuracy_vs_kmers.png"))
+    if any(id5[m] for m in MODS):
+        plot_accuracy_vs_kmers(
+            {m: {v: t[0] / 100.0 for v, t in id5[m].items()} for m in MODS if id5[m]},
+            show_reference=False,
+            title="Merged-read mapping identity (beam 5, held-out reads)",
+            out=str(rdir / "identity_vs_kmers.png"))
 
     md = ["# Reference-anchored difficulty sweep",
           "",
           "Accuracy vs #distinct 6-mers over the reference's five **committed**",
-          "reduced-vocabulary genome sets (`/root/reference/data/simulator/reduced/`,",
-          "exact train/eval genome split; reference: make_plots.py:54-78,",
-          "data/generate_simulator_reduced.py:86-106). One model per set:",
-          "joint trained with the standard curriculum (tools/train_curriculum.py),",
-          "raw/event warm-started from it; identity-best epoch selected on the",
-          "val split of the EVAL genome; numbers below are held-out TEST reads.",
+          "reduced-vocabulary genome sets (`/root/reference/data/simulator/reduced/`;",
+          "reference: make_plots.py:54-78, data/generate_simulator_reduced.py:86-106).",
+          "One model per set: joint trained with the standard curriculum",
+          "(tools/train_curriculum.py), raw/event warm-started from it;",
+          "identity-best epoch selected on held-out val reads. Evaluation reads",
+          "are held-out reads of the train genome (the reference's evaluation",
+          "semantics — its identity tables and reduced curve both score held-out",
+          "reads/splits of the training distribution); 'cross' columns are reads",
+          "of the committed `.eval` genome (cross-genome transfer).",
           "",
           "**Protocol caveats (read before comparing to the reference's curve):**",
           "",
-          "- Signal: built-in `realistic` simulator profile (low-pass filtered",
-          "  transitions, per-kmer noise, dwell stalls, skips, baseline drift —",
-          "  `ravvent_tpu/data/simulator.py::SimProfile`), NOT DeepSimulator",
-          "  output. Same genomes, different signal generator.",
-          "- Mapper: built-in seed-chain-extend local mapper with map-ont-style",
-          "  semantics (`sce`, `ravvent_tpu/assembly/sce_mapper.py`); minimap2 is",
-          "  not installable in this environment. Unmapped reads count as 0",
-          "  identity, exactly like the reference aggregation",
-          "  (ravvent_mapping_evaluator.py:152-167).",
-          "- The reference curve (dashed in the figure) therefore anchors the",
-          "  difficulty *trend*, not a bit-comparable contest.",
+          "- Signal: built-in simulator (`SimProfile`, see results/NOISE_SWEEP.md",
+          "  for the realism ladder), NOT DeepSimulator output. Same genomes,",
+          "  different signal generator.",
+          "- The reference curve metric is model TEST ACCURACY (token-level,",
+          "  make_plots.py:54-78) from thesis-era models (different config:",
+          "  `tf0 emb5 ed1 bahdanau`, 100 epochs). Our strict token accuracy",
+          "  (exact-match rate over non-pad/start/end positions of greedy",
+          "  decodes) is the closest analog.",
+          "- Mapping identity uses the built-in seed-chain-extend local mapper",
+          "  (`sce`; minimap2 is not installable here). Unmapped reads count 0,",
+          "  like the reference aggregation (ravvent_mapping_evaluator.py:152-167).",
+          "  On the ultra-repetitive small-vocabulary genomes (45/450 6-mers) the",
+          "  25-base overlap-merge step itself degrades — overlaps are not unique",
+          "  on near-periodic sequence — so identity there understates per-snippet",
+          "  basecalling quality; the token-accuracy table is the faithful",
+          "  difficulty readout (the reference never ran its mapping evaluator on",
+          "  these sets).",
           "",
-          "![accuracy vs kmers](ref_sweep/accuracy_vs_kmers.png)",
+          "## Token test accuracy (strict) vs the reference curve — beam-free",
           "",
-          "## Identity (total, %) — beam 5",
+          "![token accuracy vs kmers](ref_sweep/accuracy_vs_kmers.png)",
           "",
-          fmt_table(sweep5, None),
+          token_table(tok),
           "",
-          "## Identity (total, %) — beam 1",
+          "## Merged-read mapping identity (total %, sce mapper)",
           "",
-          fmt_table(sweep1, None),
+          "![identity vs kmers](ref_sweep/identity_vs_kmers.png)",
+          "",
+          "Beam 5 — held-out reads (left) and cross-genome reads (right):",
+          "",
+          identity_table(id5, id5x),
+          "",
+          "Beam 1 — held-out reads:",
+          "",
+          identity_table(id1, {m: {} for m in MODS}),
           "",
           "Full triples (total, valid-only, invalid%) per cell are in",
           f"`{args.results_dir}/accuracy_results_all.ref*.beam*.json`",
-          "(reference schema, analyse_accuracies.py:144-180).",
+          "(reference schema, analyse_accuracies.py:144-180); token accuracies in",
+          f"`{args.results_dir}/token_acc.ref*.json`.",
           ""]
     Path(args.out).write_text("\n".join(md))
-    print(f"wrote {args.out} ({n_cells} beam-5 cells) + {fig_path}")
+    print(f"wrote {args.out} ({n_cells} token cells) + figures")
     return 0
 
 

@@ -3,17 +3,17 @@
 # item 5): the reference's committed accuracy_results_all.*.json files carry
 # five depth configs (1,1),(2,1),(2,2),(3,1),(3,2) x 3 modalities x 2 beams
 # x 2 genomes (reference: analyse_accuracies.py:10-134). This queue fills the
-# same matrix for the anchored protocol:
-#   - "lambda" role: the reference's committed 2048-6-mer genome set
-#     (datasets/ref2048; eval genome test reads)
-#   - "ecoli" role: cross-genome transfer — fresh genome drawn from the same
-#     base-6-mer vocabulary (datasets/cross2048), like lambda->ecoli shares
-#     the full 6-mer vocabulary across real genomes
+# same matrix for the anchored protocol on the reference's committed
+# 2048-6-mer genome set:
+#   - "lambda" role: held-out reads of the train genome (datasets/ref2048
+#     test split — the reference's lambda-test semantics: same genome,
+#     unseen reads)
+#   - "ecoli" role: the committed .eval genome's reads (datasets/ref2048
+#     cross split — cross-genome transfer, the lambda->ecoli analog)
 # Per depth config: joint trained with the full curriculum, raw/event
-# warm-started with the short anneal; all evals ride one process per
-# (config, modality) via tools/evaluate.py --eval/--beams.
+# warm-started with the short anneal. Evaluations ride the CPU eval daemon.
 #
-# (2,1) reuses the phase-A exports (checkpoints/sweep/ref2048_*).
+# (2,1) reuses the phase-A sweep exports (checkpoints/sweep/ref2048_*).
 #
 # Usage: nohup bash tools/run_matrix.sh > runs/matrix.log 2>&1 &
 set -u
@@ -21,26 +21,25 @@ cd "$(dirname "$0")/.."
 
 SHORT='[[0.5, 5e-4, 6, 500], [0.45, 1e-4, 8, 800], [0.4, 7e-5, 6, 800]]'
 DS=datasets/ref2048
-CROSS=datasets/cross2048
-OUT=results/matrix
 
 run() {
   echo "=== $(date +%H:%M:%S) $*"
   "$@" || echo "FAILED ($?): $*"
 }
 
-[ -f "$DS/train/files_info.snippets.stride_6.json" ] || \
-  run python -u tools/make_dataset.py --out "$DS" --ref-reduced 2048
-[ -f "$CROSS/test/files_info.snippets.stride_6.json" ] || \
-  run python -u tools/make_dataset.py --out "$CROSS" --cross-from "$DS"
-
-eval_config() {
+add_eval_jobs() {
   local mod=$1 encd=$2 decd=$3 ckpt=$4
-  run python -u tools/evaluate.py --checkpoint "$ckpt" \
-    --data-type "$mod" --encoder-depth "$encd" --decoder-depth "$decd" \
-    --eval "ref2048:$DS/eval/files_info.test.snippets.stride_6.json:$DS/.cache" \
-    --eval "cross2048:$CROSS/test/files_info.snippets.stride_6.json:$CROSS/.cache" \
-    --beams 5,1 --out-dir "$OUT"
+  python - "$mod" "$encd" "$decd" "$ckpt" <<'EOF'
+import json, sys
+mod, encd, decd, ckpt = sys.argv[1:5]
+ds = "datasets/ref2048"
+test = f"m2048:{ds}/eval/files_info.test.snippets.stride_6.json:{ds}/.cache"
+cross = f"m2048cross:{ds}/cross/files_info.snippets.stride_6.json:{ds}/.cache"
+job = {"ckpt": ckpt, "data_type": mod, "encd": int(encd), "decd": int(decd),
+       "out_dir": "results/matrix", "evals": [test, cross], "beams": "5,1"}
+with open("runs/eval_manifest.jsonl", "a") as f:
+    f.write(json.dumps(job) + "\n")
+EOF
 }
 
 train_depth() {
@@ -50,6 +49,7 @@ train_depth() {
     run python -u tools/train_curriculum.py --dataset "$DS" --tag "m2048" \
       --data-type joint --encoder-depth "$encd" --decoder-depth "$decd" \
       --export "$joint_ckpt" --workdir "runs/m2048.joint.d${encd}${decd}"
+  add_eval_jobs joint "$encd" "$decd" "$joint_ckpt"
   for mod in raw event; do
     local ck=checkpoints/matrix/d${encd}${decd}_${mod}
     [ -d "$ck" ] || \
@@ -57,16 +57,14 @@ train_depth() {
         --data-type "$mod" --encoder-depth "$encd" --decoder-depth "$decd" \
         --init-from "$joint_ckpt" --stages "$SHORT" \
         --export "$ck" --workdir "runs/m2048.$mod.d${encd}${decd}"
-  done
-  for mod in joint raw event; do
-    eval_config "$mod" "$encd" "$decd" "checkpoints/matrix/d${encd}${decd}_${mod}"
+    add_eval_jobs "$mod" "$encd" "$decd" "$ck"
   done
 }
 
-# (2,1) from phase A exports
+# (2,1) from the phase-A sweep exports (same dataset, same curriculum)
 for mod in joint raw event; do
   if [ -d "checkpoints/sweep/ref2048_${mod}" ]; then
-    eval_config "$mod" 2 1 "checkpoints/sweep/ref2048_${mod}"
+    add_eval_jobs "$mod" 2 1 "checkpoints/sweep/ref2048_${mod}"
   else
     echo "SKIP (2,1) $mod: phase-A export missing"
   fi
