@@ -348,8 +348,13 @@ def load_read_snippets(
         ).hexdigest()[:16]
         cache_path = Path(cache_dir) / f"{Path(signal_path).stem}.{key}.npz"
         if cache_path.exists():
-            z = np.load(cache_path)
-            return z["raw"], z["event"], z["nuc"]
+            try:
+                z = np.load(cache_path)
+                return z["raw"], z["event"], z["nuc"]
+            except Exception:
+                # torn/corrupt cache entry (e.g. a writer killed mid-write
+                # before writes were atomic): recompute and rewrite
+                cache_path.unlink(missing_ok=True)
 
     raw = chiron.load_signal(signal_path)
     nuc_raw_ranges, nuc_reference_symbols = chiron.load_label(label_path)
@@ -364,5 +369,9 @@ def load_read_snippets(
     )
 
     if cache_path is not None:
-        np.savez_compressed(cache_path, raw=raw_arr, event=event_arr, nuc=nuc_tok)
+        # atomic publish: a concurrent reader (trainer vs cache prewarmer)
+        # must never see a partially-written archive
+        tmp = cache_path.with_suffix(f".tmp{os.getpid()}.npz")
+        np.savez_compressed(tmp, raw=raw_arr, event=event_arr, nuc=nuc_tok)
+        os.replace(tmp, cache_path)
     return raw_arr, event_arr, nuc_tok
