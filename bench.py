@@ -52,6 +52,10 @@ N_READS = 4
 N_STREAM_READS = 12
 READ_LEN = (12000, 18000)
 DATA_SEED = 1234
+# Signal realism rung for bench reads — must match the committed flagship's
+# training profile so the identity-on-the-side number is meaningful (see
+# results/NOISE_SWEEP.md for the ladder).
+BENCH_PROFILE = "dynamic"
 
 
 def _bench_genome():
@@ -78,24 +82,32 @@ def ensure_dataset():
     warm cache flatters the pipeline — every read must be distinct)."""
     from ravvent_tpu.data import chiron, simulator
 
+    import shutil
+
     fi = BENCH_DATA / "files_info.snippets.stride_6.json"
     fi_stream = BENCH_DATA / "stream" / "files_info.snippets.stride_6.json"
-    if fi.exists() and fi_stream.exists():
-        return fi, fi_stream
+    meta = BENCH_DATA / "bench_meta.json"
+    if fi.exists() and fi_stream.exists() and meta.exists():
+        if json.loads(meta.read_text()).get("profile") == BENCH_PROFILE:
+            return fi, fi_stream
+        shutil.rmtree(BENCH_DATA)  # stale profile: regenerate
     genome, tag = _bench_genome()
-    print(f"bench dataset: {tag} genome, realistic profile", file=sys.stderr)
+    profile = simulator.PROFILES[BENCH_PROFILE]
+    print(f"bench dataset: {tag} genome, {BENCH_PROFILE} profile",
+          file=sys.stderr)
     simulator.generate_chiron_dataset(
         BENCH_DATA, genome, n_reads=N_READS, read_len_range=READ_LEN,
-        seed=DATA_SEED, profile=simulator.REALISTIC,
+        seed=DATA_SEED, profile=profile,
     )
     fi = chiron.create_files_info(BENCH_DATA, stride=6, verbose=False)
     simulator.generate_chiron_dataset(
         BENCH_DATA / "stream", genome, n_reads=N_STREAM_READS,
         read_len_range=READ_LEN, seed=DATA_SEED + 1,
-        profile=simulator.REALISTIC,
+        profile=profile,
     )
     fi_stream = chiron.create_files_info(
         BENCH_DATA / "stream", stride=6, verbose=False)
+    meta.write_text(json.dumps({"profile": BENCH_PROFILE, "genome": tag}))
     return fi, fi_stream
 
 

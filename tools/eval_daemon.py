@@ -46,6 +46,7 @@ def run_job(job: dict) -> bool:
                "--checkpoint", job["ckpt"], "--data-type", job["data_type"],
                "--encoder-depth", str(job.get("encd", 2)),
                "--decoder-depth", str(job.get("decd", 1)),
+               "--rnn-type", job.get("rnn", "bilstm"),
                "--files-info", fi, "--tag", tag,
                "--out-dir", job["out_dir"]]
         if cache:
@@ -56,6 +57,7 @@ def run_job(job: dict) -> bool:
                "--data-type", job["data_type"],
                "--encoder-depth", str(job.get("encd", 2)),
                "--decoder-depth", str(job.get("decd", 1)),
+               "--rnn-type", job.get("rnn", "bilstm"),
                "--beams", job.get("beams", "5,1"),
                "--out-dir", job["out_dir"]]
         for spec in job["evals"]:

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--dec-units", type=int, default=128)
     ap.add_argument("--encoder-depth", type=int, default=2)
     ap.add_argument("--decoder-depth", type=int, default=1)
+    ap.add_argument("--rnn-type", default="bilstm",
+                    choices=["gru", "lstm", "bigru", "bilstm"])
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--max-batches", type=int, default=24)
     ap.add_argument("--out-dir", default="results/ref_sweep")
@@ -60,7 +62,8 @@ def main():
     from ravvent_tpu.config import DataConfig, ModelConfig
     from ravvent_tpu.data.generator import SnippetBatchGenerator
     from ravvent_tpu.models import attention as attn
-    from ravvent_tpu.models.basecaller import init_basecaller, encode_input
+    from ravvent_tpu.models.basecaller import (
+        init_basecaller, encode_input, train_forward)
     from ravvent_tpu.decode.greedy import greedy_decode
     from ravvent_tpu.training.checkpoints import CheckpointManager
     from ravvent_tpu.utils.masking import masked_accuracy
@@ -68,7 +71,7 @@ def main():
     mcfg = ModelConfig(
         enc_units=args.enc_units, dec_units=args.dec_units,
         encoder_depth=args.encoder_depth, decoder_depth=args.decoder_depth,
-        data_type=args.data_type,
+        rnn_type=args.rnn_type, data_type=args.data_type,
     )
     ckpt = Path(args.checkpoint)
     params = CheckpointManager(str(ckpt.parent)).restore(
@@ -92,24 +95,34 @@ def main():
         y = targets[:, 1:]
         n_strict = jnp.sum((y != 0) & (y != 1) & (y != 2))
         n_val = jnp.sum((y != 1) & (y != 2))
+        # teacher-forced per-step accuracy: conditioned on the gold prefix,
+        # so a single greedy insertion/deletion doesn't shift-penalize every
+        # later position (the free-running metrics above do) — the cleanest
+        # signal->base mapping readout (reference train-step metric,
+        # basecaller.py:247)
+        tf_out = train_forward(params, raw, event, targets, mcfg)
         return (masked_accuracy(y, tokens, omit_vals=(0, 1, 2)) * n_strict,
                 n_strict,
                 masked_accuracy(y, tokens, omit_vals=(1, 2)) * n_val,
-                n_val)
+                n_val,
+                tf_out.acc * n_strict)
 
-    s_num = s_den = v_num = v_den = 0.0
+    s_num = s_den = v_num = v_den = t_num = 0.0
     n_batches = 0
     for i, (raw, event, nuc) in enumerate(gen.epoch()):
         if i >= args.max_batches:
             break
-        a, b, c, d = step(jnp.asarray(raw), jnp.asarray(event), jnp.asarray(nuc))
+        a, b, c, d, e = step(jnp.asarray(raw), jnp.asarray(event),
+                             jnp.asarray(nuc))
         s_num += float(a); s_den += float(b)
         v_num += float(c); v_den += float(d)
+        t_num += float(e)
         n_batches += 1
     strict = s_num / max(s_den, 1.0)
     val_style = v_num / max(v_den, 1.0)
+    tf_acc = t_num / max(s_den, 1.0)
     print(f"[{args.tag} {args.data_type}] token acc strict={strict:.4f} "
-          f"val_style={val_style:.4f} over {n_batches} batches")
+          f"val_style={val_style:.4f} tf={tf_acc:.4f} over {n_batches} batches")
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -118,7 +131,7 @@ def main():
     depth_key = f"({args.encoder_depth}, {args.decoder_depth})"
     data.setdefault(depth_key, {})[args.data_type] = {
         "strict": round(strict, 5), "val_style": round(val_style, 5),
-        "batches": n_batches,
+        "teacher_forced": round(tf_acc, 5), "batches": n_batches,
     }
     out.write_text(json.dumps(data, indent=2))
     print(f"-> {out}")

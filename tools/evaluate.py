@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--dec-units", type=int, default=128)
     ap.add_argument("--encoder-depth", type=int, default=2)
     ap.add_argument("--decoder-depth", type=int, default=1)
+    ap.add_argument("--rnn-type", default="bilstm",
+                    choices=["gru", "lstm", "bigru", "bilstm"])
     ap.add_argument("--out-dir", default="info/mapping_evaluations")
     ap.add_argument("--tag", default="sim_lambda")
     ap.add_argument("--cpu", action="store_true")
@@ -60,7 +62,7 @@ def main():
     cfg = ModelConfig(
         enc_units=args.enc_units, dec_units=args.dec_units,
         encoder_depth=args.encoder_depth, decoder_depth=args.decoder_depth,
-        data_type=args.data_type,
+        rnn_type=args.rnn_type, data_type=args.data_type,
     )
     params = init_basecaller(jax.random.PRNGKey(0), cfg)
     ckpt = Path(args.checkpoint)

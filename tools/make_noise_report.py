@@ -47,7 +47,8 @@ def main():
         t = rdir / f"token_acc.lad{p}.json"
         if t.exists():
             cells = next(iter(json.loads(t.read_text()).values()))
-            row["tok"] = cells.get("joint", {}).get("strict")
+            d = cells.get("joint", {})
+            row["tok"] = d.get("teacher_forced", d.get("strict"))
         rows.append(row)
     if not any(len(r) > 1 for r in rows):
         print("no ladder results yet", file=sys.stderr)
@@ -87,7 +88,8 @@ def main():
         "",
         "Identity = merged-read mapping identity (total %, sce mapper, held-out",
         "reads of the train genome; 'cross' = reads of the committed .eval",
-        "genome). Token acc = strict per-snippet greedy exact-match rate.",
+        "genome). Token acc = teacher-forced per-snippet accuracy (the",
+        "reference train-step metric; shift-free).",
         "",
         "Profile parameters:",
         "",

@@ -74,10 +74,22 @@ def token_table(tok):
         cells = []
         for mod in MODS:
             d = tok[mod].get(v)
-            cells.append(f"{d['strict']:.3f}" if d else "—")
+            cells.append(f"{d.get('teacher_forced', d['strict']):.3f}" if d else "—")
         refs = [f"{REFERENCE_REDUCED_ACCS[m][v]:.3f}" for m in MODS]
         g = REFERENCE_REDUCED_ACCS["guppy"][v]
         lines.append(f"| {v} | {' | '.join(cells)} | {' | '.join(refs)} | {g:.3f} |")
+    return "\n".join(lines)
+
+
+def strict_table(tok):
+    lines = ["| #6-mers | raw strict/val | event strict/val | joint strict/val |",
+             "|---|---|---|---|"]
+    for v in VOCABS:
+        cells = []
+        for mod in MODS:
+            d = tok[mod].get(v)
+            cells.append(f"{d['strict']:.3f} / {d['val_style']:.3f}" if d else "—")
+        lines.append(f"| {v} | {' | '.join(cells)} |")
     return "\n".join(lines)
 
 
@@ -114,7 +126,8 @@ def main():
 
     if n_cells:
         plot_accuracy_vs_kmers(
-            {m: {v: d["strict"] for v, d in tok[m].items()} for m in MODS if tok[m]},
+            {m: {v: d.get("teacher_forced", d["strict"])
+                 for v, d in tok[m].items()} for m in MODS if tok[m]},
             title="Reduced-genome difficulty sweep — token test accuracy",
             out=str(rdir / "accuracy_vs_kmers.png"))
     if any(id5[m] for m in MODS):
@@ -144,9 +157,13 @@ def main():
           "  different signal generator.",
           "- The reference curve metric is model TEST ACCURACY (token-level,",
           "  make_plots.py:54-78) from thesis-era models (different config:",
-          "  `tf0 emb5 ed1 bahdanau`, 100 epochs). Our strict token accuracy",
-          "  (exact-match rate over non-pad/start/end positions of greedy",
-          "  decodes) is the closest analog.",
+          "  `tf0 emb5 ed1 bahdanau`, 100 epochs). Our teacher-forced token",
+          "  accuracy (per-step exact-match conditioned on the gold prefix,",
+          "  the reference's train-step masking, basecaller.py:247) is the",
+          "  closest analog: free-running exact-position metrics (strict /",
+          "  val-style below) shift-penalize every position after a single",
+          "  greedy insertion or deletion, which alignment-based identity and",
+          "  teacher-forced accuracy both forgive.",
           "- Mapping identity uses the built-in seed-chain-extend local mapper",
           "  (`sce`; minimap2 is not installable here). Unmapped reads count 0,",
           "  like the reference aggregation (ravvent_mapping_evaluator.py:152-167).",
@@ -162,6 +179,10 @@ def main():
           "![token accuracy vs kmers](ref_sweep/accuracy_vs_kmers.png)",
           "",
           token_table(tok),
+          "",
+          "Free-running exact-position variants (harsher; shift-sensitive):",
+          "",
+          strict_table(tok),
           "",
           "## Merged-read mapping identity (total %, sce mapper)",
           "",
