@@ -34,7 +34,11 @@ import jax
 
 if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    # separate cache: CPU AOT artifacts are machine-feature-specific and
+    # must not mix with the TPU process's cache entries
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache_cpu"))
+else:
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 
 
 def main():
