@@ -73,6 +73,15 @@ def run_job(job: dict) -> bool:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shard", default="0/1",
+                    help="i/n: process only manifest lines with hash%%n==i, "
+                         "so several daemons can drain one manifest")
+    args = ap.parse_args()
+    shard_i, shard_n = (int(x) for x in args.shard.split("/"))
+
     done = set()
     if DONE.exists():
         done = set(DONE.read_text().split())
@@ -85,6 +94,8 @@ def main():
                 if not line:
                     continue
                 key = line_key(line)
+                if int(key, 16) % shard_n != shard_i:
+                    continue
                 if key in done or fails.get(key, 0) >= 2:
                     continue
                 try:
