@@ -55,7 +55,7 @@ DATA_SEED = 1234
 # Signal realism rung for bench reads — must match the committed flagship's
 # training profile so the identity-on-the-side number is meaningful (see
 # results/NOISE_SWEEP.md for the ladder).
-BENCH_PROFILE = "dynamic"
+BENCH_PROFILE = "noisy"
 
 
 def _bench_genome():

@@ -28,7 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results-dir", default="results/noise_ladder")
     ap.add_argument("--out", default="results/NOISE_SWEEP.md")
-    ap.add_argument("--default-profile", default="dynamic")
+    ap.add_argument("--default-profile", default="noisy")
     args = ap.parse_args()
 
     from ravvent_tpu.data.simulator import LADDER, PROFILES

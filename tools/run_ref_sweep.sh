@@ -12,13 +12,13 @@
 # reference-metric token test accuracy) are appended to the CPU eval
 # daemon's manifest (tools/eval_daemon.py) so they overlap TPU training.
 #
-# PROFILE env var picks the simulator realism rung (default: dynamic).
+# PROFILE env var picks the simulator realism rung (default: noisy).
 #
 # Usage: nohup bash tools/run_ref_sweep.sh > runs/queue.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 
-PROFILE=${PROFILE:-dynamic}
+PROFILE=${PROFILE:-noisy}
 SHORT='[[0.5, 5e-4, 6, 500], [0.45, 1e-4, 8, 800], [0.4, 7e-5, 6, 800]]'
 
 run() {
