@@ -38,8 +38,11 @@ import jax  # noqa: E402
 # initialization. --cpu does that for baseline recording.
 if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    # CPU AOT cache entries are machine-feature-specific: keep them apart
+    # from the TPU process's cache
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache_cpu"))
+else:
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 
 import numpy as np  # noqa: E402
 
