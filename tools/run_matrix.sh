@@ -20,6 +20,9 @@ set -u
 cd "$(dirname "$0")/.."
 
 SHORT='[[0.5, 5e-4, 6, 500], [0.45, 1e-4, 8, 800], [0.4, 7e-5, 6, 800]]'
+# non-flagship depth configs use a ~40% shorter full curriculum (same stage
+# structure) — the matrix reads TRENDS across depth, not peak numbers
+JOINT_SHORT='[[1.0, 2e-3, 6, 500], [0.5, 5e-4, 8, 500], [0.45, 1e-4, 8, 800], [0.4, 7e-5, 6, 800]]'
 DS=datasets/ref2048
 
 run() {
@@ -43,11 +46,14 @@ EOF
 }
 
 train_depth() {
-  local encd=$1 decd=$2
+  local encd=$1 decd=$2 jstages=${3:-}
   local joint_ckpt=checkpoints/matrix/d${encd}${decd}_joint
+  local jargs=()
+  [ -n "$jstages" ] && jargs=(--stages "$jstages")
   [ -d "$joint_ckpt" ] || \
     run python -u tools/train_curriculum.py --dataset "$DS" --tag "m2048" \
       --data-type joint --encoder-depth "$encd" --decoder-depth "$decd" \
+      --sweep-epochs 6 "${jargs[@]}" \
       --export "$joint_ckpt" --workdir "runs/m2048.joint.d${encd}${decd}"
   add_eval_jobs joint "$encd" "$decd" "$joint_ckpt"
   for mod in raw event; do
@@ -71,7 +77,7 @@ for mod in joint raw event; do
 done
 
 train_depth 3 2
-train_depth 1 1
-train_depth 2 2
-train_depth 3 1
+train_depth 1 1 "$JOINT_SHORT"
+train_depth 2 2 "$JOINT_SHORT"
+train_depth 3 1 "$JOINT_SHORT"
 echo "=== $(date +%H:%M:%S) matrix queue done"
