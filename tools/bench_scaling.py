@@ -37,7 +37,8 @@ if "--virtual" in sys.argv:
         pass
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", _n)
-jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+cache = ".jax_cache_cpu" if "--virtual" in sys.argv else ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(REPO / cache))
 
 import numpy as np  # noqa: E402
 
