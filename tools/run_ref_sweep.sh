@@ -45,15 +45,21 @@ EOF
 }
 
 train_set() {
-  local v=$1 reads=$2
+  local v=$1 reads=$2 init=${3:-}
   local ds=datasets/ref$v
+  local iargs=()
+  # the full-vocabulary set does not escape the unigram plateau from
+  # scratch even teacher-forced (loss pins at ln(4)); it warm-starts from
+  # the previous difficulty level — the reference's own run-chaining
+  # pattern (rename_models.py epoch chaining)
+  [ -n "$init" ] && iargs=(--init-from "$init")
   [ -f "$ds/train/files_info.snippets.stride_6.json" ] || \
     run python -u tools/make_dataset.py --out "$ds" --ref-reduced "$v" \
       --profile "$PROFILE" --train-reads "$reads"
   if [ ! -d "checkpoints/sweep/ref${v}_joint" ]; then
     run python -u tools/train_curriculum.py --dataset "$ds" --tag "ref$v" \
       --data-type joint --export "checkpoints/sweep/ref${v}_joint" \
-      --workdir "runs/ref$v.joint"
+      "${iargs[@]}" --workdir "runs/ref$v.joint"
   fi
   add_eval_jobs "$v" joint
   for mod in raw event; do
@@ -71,7 +77,7 @@ train_set() {
 # see enough distinct noise draws to generalize across reads
 train_set 2048 150
 train_set 45 48
-train_set 4096 300
 train_set 450 75
 train_set 1024 150
+train_set 4096 300 checkpoints/sweep/ref2048_joint
 echo "=== $(date +%H:%M:%S) sweep queue done"
