@@ -173,8 +173,17 @@ def main():
           "  basecalling quality; the token-accuracy table is the faithful",
           "  difficulty readout (the reference never ran its mapping evaluator on",
           "  these sets).",
+          "- The 4096 (full-vocabulary) models warm-start from the 2048 model:",
+          "  from scratch, training pins at the unigram plateau (loss ~ln 4 —",
+          "  a fresh random full-vocab genome offers no LM gradient to",
+          "  bootstrap attention alignment) even fully teacher-forced. The",
+          "  committed 4096 point remains far below the reference curve; with",
+          "  the training budget here (≈46 short epochs vs the reference's",
+          "  ~100) the full-vocab task under the noisy rung is not yet",
+          "  learned — an honest gap, not a protocol artifact (see",
+          "  NOISE_SWEEP.md to translate rungs).",
           "",
-          "## Token test accuracy (strict) vs the reference curve — beam-free",
+          "## Token test accuracy (teacher-forced) vs the reference curve",
           "",
           "![token accuracy vs kmers](ref_sweep/accuracy_vs_kmers.png)",
           "",
