@@ -36,13 +36,24 @@ VOCABS = [45, 450, 1024, 2048, 4096]
 MODS = ["raw", "event", "joint"]
 
 
+def _tags(v: int, cross: bool = False) -> list:
+    """Result-file tags for a vocab size, preferred first. The 4096 point
+    has a superseding rerun tagged ref4096b (600 train reads instead of 300
+    — the diversity fix for the original run's train/val divergence, see
+    tools/fix_ref4096.sh); its results replace the original's when present."""
+    suffix = "cross" if cross else ""
+    return [f"ref{v}b{suffix}", f"ref{v}{suffix}"]
+
+
 def load_identity(results_dir: Path, beam: int, cross: bool = False):
     """-> {mod: {vocab: [total, valid, invalid%]}} for one beam width."""
     out = {m: {} for m in MODS}
     for v in VOCABS:
-        tag = f"ref{v}cross" if cross else f"ref{v}"
-        p = results_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
-        if not p.exists():
+        for tag in _tags(v, cross):
+            p = results_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
+            if p.exists():
+                break
+        else:
             continue
         for cells in json.loads(p.read_text()).values():
             for mod, triple in cells.items():
@@ -55,8 +66,11 @@ def load_token_acc(results_dir: Path):
     """-> {mod: {vocab: {"strict": x, "val_style": y}}}"""
     out = {m: {} for m in MODS}
     for v in VOCABS:
-        p = results_dir / f"token_acc.ref{v}.json"
-        if not p.exists():
+        for tag in _tags(v):
+            p = results_dir / f"token_acc.{tag}.json"
+            if p.exists():
+                break
+        else:
             continue
         for cells in json.loads(p.read_text()).values():
             for mod, d in cells.items():
