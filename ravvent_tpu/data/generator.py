@@ -168,13 +168,23 @@ class SnippetBatchGenerator:
             stop.set()
             t.join(timeout=5)
 
+    def _stream(self) -> Iterator[Batch]:
+        while True:
+            yield from self.epoch()
+
     def steps(self, num_steps: int) -> Iterator[Batch]:
-        """Yield exactly ``num_steps`` batches, cycling epochs as needed
-        (matches keras ``fit(steps_per_epoch=...)`` consumption)."""
-        produced = 0
-        while produced < num_steps:
-            for batch in self.epoch():
-                yield batch
-                produced += 1
-                if produced >= num_steps:
-                    return
+        """Yield exactly ``num_steps`` batches from a PERSISTENT stream that
+        cycles epoch plans (reshuffling at each true plan boundary).
+
+        The cursor survives across calls: successive ``steps()`` calls (one
+        per trainer epoch) continue through the full epoch plan instead of
+        restarting it, so every file is visited even when ``steps_per_epoch``
+        is smaller than the plan. (A pre-round-3 bug restarted the plan from
+        batch 0 on every call WITHOUT reshuffling, silently training on only
+        the first ``steps_per_epoch`` batches of a fixed plan — the reference
+        generator reshuffles between keras epochs, data_loader.py:251-257, so
+        its truncated epochs still cover all files over time.)"""
+        if getattr(self, "_steps_stream", None) is None:
+            self._steps_stream = self._stream()
+        for _ in range(num_steps):
+            yield next(self._steps_stream)

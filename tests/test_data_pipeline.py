@@ -130,6 +130,50 @@ def test_generator_prefetch_epoch(tmp_path):
     assert len(batches) == len(g.fetch_ids) or len(batches) > 0
 
 
+def test_generator_steps_cursor_persists_across_calls(tmp_path):
+    """Regression (round-3 root-cause fix): truncated-epoch training must
+    still cover the whole dataset. Before the fix, every ``steps(n)`` call
+    with n < plan length restarted the SAME plan at batch 0 without ever
+    reshuffling, so training with steps_per_epoch < plan size only ever saw
+    the first n batches (the 4096-collapse root cause). The reference's
+    keras Sequence reshuffles between epochs (data_loader.py:251-257), so
+    its truncated epochs cover all files over time; the persistent stream
+    cursor guarantees it deterministically."""
+    rng = np.random.default_rng(17)
+    genome = simulator.random_genome(6000, rng)
+    simulator.generate_chiron_dataset(
+        tmp_path, genome, n_reads=4, read_len_range=(800, 1200), seed=3)
+    fi = chiron.create_files_info(tmp_path, stride=6, verbose=False)
+    g = SnippetBatchGenerator(fi, stride=6, batch_size=8, initial_random_seed=0,
+                              cache_dir=str(tmp_path / "cache"), prefetch=0)
+    plan_len = len(g)
+    assert plan_len >= 4
+    n = max(1, plan_len // 3)
+
+    # Reference stream: one long pull sees plan + reshuffled next plan.
+    g_ref = SnippetBatchGenerator(fi, stride=6, batch_size=8,
+                                  initial_random_seed=0,
+                                  cache_dir=str(tmp_path / "cache"), prefetch=0)
+    long_pull = [b[2].copy() for b in g_ref.steps(3 * n)]
+
+    # Same stream split across three steps() calls must be identical —
+    # i.e. the cursor persists instead of restarting the plan.
+    split_pull = []
+    for _ in range(3):
+        split_pull.extend(b[2].copy() for b in g.steps(n))
+    assert len(split_pull) == len(long_pull)
+    for a, b in zip(split_pull, long_pull):
+        np.testing.assert_array_equal(a, b)
+
+    # And crossing the plan boundary must have reshuffled (new plan differs).
+    g2 = SnippetBatchGenerator(fi, stride=6, batch_size=8, initial_random_seed=0,
+                               cache_dir=str(tmp_path / "cache"), prefetch=0)
+    plan0 = g2.fetch_ids.copy()
+    for _ in g2.steps(plan_len + 1):
+        pass
+    assert not np.array_equal(plan0, g2.fetch_ids)
+
+
 def test_genome_vocab_roundtrip():
     """base_kmer_vocab recovers the reduced genome's vocabulary, and
     genome_from_vocab builds a new genome introducing no new 6-mers
