@@ -160,12 +160,23 @@ long rv_detect_events(const double* raw, long n, int w1, int w2,
 // Returns the gapped length (0 => no positive alignment). out1/out2 must
 // hold len1+len2+1 chars. Tie-breaking identical to the Python oracle:
 // H-candidates in order diag > up(F) > left(E) with strict '>' against the
-// running best (initialized to 0); within E/F, extension wins only on '>'.
+// running best (initialized to the restart value); within E/F, extension
+// wins only on '>'.
+//
+// Positional prior (offset_w > 0): restarting a local alignment on diagonal
+// d = i - j costs offset_w * |d - exp_offset| instead of 0 — alignments are
+// biased toward a known expected offset. On (near-)periodic sequence the
+// maximum-score local alignment is systematically the WRONG period shift
+// (it aligns more columns than the true overlap), so the overlap merge
+// deletes one period per junction; the prior makes the geometrically
+// expected shift win unless the data strongly contradicts it.
+// offset_w <= 0 reproduces plain Smith-Waterman exactly.
 // ---------------------------------------------------------------------------
 long rv_local_align(const char* s1, long n, const char* s2, long m,
                     double match, double mismatch,
                     double gap_open, double gap_extend,
                     const double* submat /* 16 doubles ACGT x ACGT or null */,
+                    double exp_offset, double offset_w,
                     char* out1, char* out2,
                     double* score_out, long* begin_out, long* end_out) {
   if (n == 0 || m == 0) return 0;
@@ -183,9 +194,17 @@ long rv_local_align(const char* s1, long n, const char* s2, long m,
     return submat[idx(a) * 4 + idx(b)];
   };
 
+  const bool use_prior = offset_w > 0.0;
+  auto restart = [&](long i, long j) -> double {
+    return use_prior ? -offset_w * std::abs((double)(i - j) - exp_offset) : 0.0;
+  };
   const long W = m + 1;
   std::vector<double> H((n + 1) * W, 0.0), E((n + 1) * W, kNeg), F((n + 1) * W, kNeg);
   std::vector<int8_t> TB((n + 1) * W, 0), TE((n + 1) * W, 0), TF((n + 1) * W, 0);
+  if (use_prior) {
+    for (long j = 0; j <= m; ++j) H[j] = restart(0, j);
+    for (long i = 1; i <= n; ++i) H[i * W] = restart(i, 0);
+  }
 
   double best_score = 0.0;
   long bi = 0, bj = 0;
@@ -200,7 +219,7 @@ long rv_local_align(const char* s1, long n, const char* s2, long m,
       double e_ext = e + gap_extend;
       if (e_ext > e_open) { e = e_ext; TE[c] = 1; } else { e = e_open; TE[c] = 0; }
       E[c] = e;
-      double bestv = 0.0;
+      double bestv = restart(i, j);
       int8_t tb = 0;
       double d = H[(i - 1) * W + (j - 1)] + sub(s1[i - 1], s2[j - 1]);
       if (d > bestv) { bestv = d; tb = 1; }
@@ -422,8 +441,13 @@ long local_align_core(const char* s1, long n, const char* s2, long m,
                       double match, double mismatch,
                       double gap_open, double gap_extend,
                       const double* submat,
+                      double exp_offset, double offset_w,
                       std::string& o1, std::string& o2, double* score_out) {
   if (n == 0 || m == 0) return 0;
+  const bool use_prior = offset_w > 0.0;
+  auto restart = [&](long i, long j) -> double {
+    return use_prior ? -offset_w * std::abs((double)(i - j) - exp_offset) : 0.0;
+  };
   auto sub = [&](char a, char b) -> double {
     if (!submat) return a == b ? match : mismatch;
     auto idx = [](char c) -> int {
@@ -455,13 +479,13 @@ long local_align_core(const char* s1, long n, const char* s2, long m,
   double* Hcur = Hprev + W;
   double* Fprev = Hcur + W;
   double* Fcur = Fprev + W;
-  for (long j = 0; j < W; ++j) { Hprev[j] = 0.0; Fprev[j] = kNeg; }
+  for (long j = 0; j < W; ++j) { Hprev[j] = restart(0, j); Fprev[j] = kNeg; }
   std::memset(TB, 0, W);  // row 0: traceback stops
   double best_score = 0.0;
   long bi = 0, bj = 0;
   for (long i = 1; i <= n; ++i) {
     double e = kNeg;
-    Hcur[0] = 0.0;
+    Hcur[0] = restart(i, 0);
     Fcur[0] = kNeg;
     TB[i * W] = 0;  // col 0 boundary
     const char a = s1[i - 1];
@@ -480,8 +504,9 @@ long local_align_core(const char* s1, long n, const char* s2, long m,
       const bool ex = e_ext > e_open;
       e = ex ? e_ext : e_open;
       const double d = Hprev[j - 1] + sub(a, s2[j - 1]);
-      double bestv = d > 0.0 ? d : 0.0;
-      uint8_t tb = d > 0.0 ? 1 : 0;
+      const double r = restart(i, j);
+      double bestv = d > r ? d : r;
+      uint8_t tb = d > r ? 1 : 0;
       const bool bf = f > bestv;
       bestv = bf ? f : bestv;
       tb = bf ? 2 : tb;
@@ -545,11 +570,18 @@ extern "C" {
 // Writes merged sequence/logits; returns merged length (caller provides
 // out_cap >= total chars + 26).
 // ---------------------------------------------------------------------------
+// `exp_overlaps` (null or n_snippets-1 doubles): expected number of
+// overlapping BASES between snippet i and i+1 (from the snippet raw-span
+// geometry). With `offset_w > 0` each pairwise alignment gets a positional
+// prior anchored at that overlap (see local_align_core) — the fix for
+// period-shifted merges on repetitive sequence. A negative entry disables
+// the prior for that pair.
 long rv_merge_read(const char* seqs, const long* offsets, const double* logits,
                    long n_snippets,
                    double match, double mismatch,
                    double gap_open, double gap_extend,
                    const double* submat, long overlap_len,
+                   const double* exp_overlaps, double offset_w,
                    char* out_seq, double* out_logits, long out_cap) {
   if (n_snippets <= 0) return 0;
   std::string merged(seqs + offsets[0], seqs + offsets[1]);
@@ -565,8 +597,16 @@ long rv_merge_read(const char* seqs, const long* offsets, const double* logits,
     const char* s1 = merged.data() + merged.size() - ov1;
     const double* l1 = mlog.data() + mlog.size() - ov1;
     double score;
+    double w = 0.0, exp_off = 0.0;
+    if (exp_overlaps && offset_w > 0.0 && exp_overlaps[i - 1] >= 0.0) {
+      double o = exp_overlaps[i - 1];
+      if (o > (double)ov1) o = (double)ov1;
+      exp_off = (double)ov1 - o;
+      w = offset_w;
+    }
     long glen = local_align_core(s1, ov1, app, ov2, match, mismatch,
-                                 gap_open, gap_extend, submat, a1, a2, &score);
+                                 gap_open, gap_extend, submat, exp_off, w,
+                                 a1, a2, &score);
     if (glen == 0) {
       if (!merge_flag) {
         merged.assign(app, app + app_len);

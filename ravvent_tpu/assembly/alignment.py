@@ -56,18 +56,40 @@ def local_align(
     gap_open: float = -1.0,
     gap_extend: float = -0.2,
     matrix: Optional[Dict[Tuple[str, str], float]] = None,
+    expected_offset: Optional[float] = None,
+    offset_weight: float = 0.0,
 ) -> Optional[AlignmentResult]:
     """Best local alignment, or None if no positive-scoring alignment exists
     (the reference treats an empty alignment list as "no alignment",
-    merger.py:181-197)."""
+    merger.py:181-197).
+
+    With ``offset_weight > 0`` and an ``expected_offset``, restarting a local
+    alignment on diagonal ``d = i - j`` costs ``offset_weight *
+    |d - expected_offset|`` instead of 0 — a positional prior that biases the
+    alignment toward a geometrically known shift. On (near-)periodic
+    sequence the unconstrained maximum-score alignment is systematically a
+    period-shifted one (it aligns MORE columns than the true overlap), which
+    makes overlap merging delete one period per junction; the prior makes
+    the expected shift win unless the data strongly contradicts it.
+    ``offset_weight=0`` is exact plain Smith-Waterman."""
     n, m = len(seq1), len(seq2)
     if n == 0 or m == 0:
         return None
     S = _score_matrix_fn(seq1, seq2, match, mismatch, matrix)
 
+    use_prior = offset_weight > 0.0 and expected_offset is not None
+
+    def restart(i, j):
+        if not use_prior:
+            return 0.0
+        return -offset_weight * abs(float(i - j) - expected_offset)
+
     H = np.zeros((n + 1, m + 1))
     E = np.full((n + 1, m + 1), NEG)  # gap in seq1 (moving along seq2)
     F = np.full((n + 1, m + 1), NEG)  # gap in seq2 (moving along seq1)
+    if use_prior:
+        H[0, :] = [restart(0, j) for j in range(m + 1)]
+        H[1:, 0] = [restart(i, 0) for i in range(1, n + 1)]
     # traceback: 0 stop, 1 diag, 2 up (gap in seq2), 3 left (gap in seq1)
     TB = np.zeros((n + 1, m + 1), dtype=np.int8)
     TE = np.zeros((n + 1, m + 1), dtype=np.int8)  # E came from H (0) or E (1)
@@ -97,7 +119,7 @@ def local_align(
                 e = e_o
                 TE[i, j] = 0
             row_e[j] = e
-            best = 0.0
+            best = restart(i, j)
             tb = 0
             d = diag[j - 1]
             if d > best:

@@ -10,9 +10,10 @@ read against the per-read reference sequence, and record PAF-style
 reads scored 0; ravvent_mapping_evaluator.py:130-174).
 
 Mapping backend: ``minimap2 -x map-ont -c`` via subprocess when the binary is
-available (the metric of record); otherwise the built-in native banded
-global aligner computes the (matches, block_len) analogue — flagged in the
-result dict via ``mapper``.
+available (the metric of record); otherwise the built-in seed-chain-extend
+local mapper (ravvent_tpu.assembly.sce_mapper, map-ont semantics: soft
+clipping, split mapping, both strands) computes the (matches, block_len)
+analogue — flagged in the result dict via ``mapper``.
 """
 
 from __future__ import annotations
@@ -82,7 +83,14 @@ class MappingEvaluator:
         probs = np.asarray(probs, dtype=np.float64)
         counts = np.diff(offsets)
         prefix = np.arange(probs.shape[1])[None, :] < counts[:, None]
-        return self.merger.merge_flat(blob, offsets, probs[prefix])
+        # positional prior from the snippet raw-span geometry (periodic-
+        # sequence merge fix; see assembly.merger.expected_overlaps_from_ranges)
+        from ravvent_tpu.assembly.merger import expected_overlaps_from_ranges
+
+        eo = (expected_overlaps_from_ranges(rr, counts)
+              if rr.shape[0] > 1 else None)
+        return self.merger.merge_flat(blob, offsets, probs[prefix],
+                                      expected_overlaps=eo)
 
     def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:
         """Per-read identity (reference: ravvent_mapping_evaluator.py:31-72)."""

@@ -20,7 +20,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ravvent_tpu.assembly.merger import Merger
+from ravvent_tpu.assembly.merger import Merger, expected_overlaps_from_ranges
 from ravvent_tpu.data import chiron
 from ravvent_tpu.data.snippets import load_read_compact_ex
 from ravvent_tpu.evaluation.basecall import BasecallEngine
@@ -73,7 +73,10 @@ class PerformanceEvaluator:
 
         start = timer()
         if rr.shape[0]:
-            self.merger.merge_flat(blob, offsets, flat_probs)
+            eo = (expected_overlaps_from_ranges(rr, np.diff(offsets))
+                  if rr.shape[0] > 1 else None)
+            self.merger.merge_flat(blob, offsets, flat_probs,
+                                   expected_overlaps=eo)
         t_merge = timer() - start
 
         return {
@@ -135,7 +138,7 @@ class PerformanceEvaluator:
             with stages_lock:
                 stages[key] += dt
 
-        def finish(handle):
+        def finish(handle, rr_h):
             # Runs on a pool thread: blocks on the device->host copy, then
             # does this read's host postprocessing + merge fold.
             t0 = timer()
@@ -146,7 +149,10 @@ class PerformanceEvaluator:
                 blob, offsets, flat_probs = self._postprocess(tokens, probs)
                 t2 = timer()
                 add_stage("postproc", t2 - t1)
-                self.merger.merge_flat(blob, offsets, flat_probs)
+                eo = (expected_overlaps_from_ranges(rr_h, np.diff(offsets))
+                      if rr_h is not None and rr_h.shape[0] > 1 else None)
+                self.merger.merge_flat(blob, offsets, flat_probs,
+                                       expected_overlaps=eo)
                 add_stage("merge", timer() - t2)
 
         start_all = timer()
@@ -169,7 +175,7 @@ class PerformanceEvaluator:
                     sig, rr, ev, er, max_output_len, self.beam_width, aux=aux
                 )
                 stages["dispatch"] += timer() - t1
-                pending.append(pool.submit(finish, handle))
+                pending.append(pool.submit(finish, handle, rr))
                 while len(pending) >= inflight:
                     pending.popleft().result()
             while pending:

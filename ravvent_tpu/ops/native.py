@@ -64,6 +64,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double, ctypes.c_double,
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
@@ -74,6 +75,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long,
         ]
         lib.rv_banded_global.restype = ctypes.c_int
@@ -120,6 +122,7 @@ def detect_events(
 def local_align(
     seq1: str, seq2: str, match: float, mismatch: float,
     gap_open: float, gap_extend: float, submat: Optional[np.ndarray] = None,
+    expected_offset: Optional[float] = None, offset_weight: float = 0.0,
 ):
     lib = _load()
     if lib is None:
@@ -135,9 +138,12 @@ def local_align(
         if submat is not None
         else None
     )
+    if expected_offset is None:
+        expected_offset, offset_weight = 0.0, 0.0
     ln = lib.rv_local_align(
         seq1.encode(), n, seq2.encode(), m,
         match, mismatch, gap_open, gap_extend, sm,
+        float(expected_offset), float(offset_weight),
         buf1, buf2, ctypes.byref(score), ctypes.byref(begin), ctypes.byref(end),
     )
     if ln == 0:
@@ -191,13 +197,26 @@ def map_read(
     return out[: 6 * n].reshape(-1, 6).copy()
 
 
+def _exp_overlaps_ptr(expected_overlaps, n_snippets: int):
+    """(ptr, weight) for the optional positional-prior arrays."""
+    if expected_overlaps is None:
+        return None, 0.0
+    arr = np.ascontiguousarray(expected_overlaps, dtype=np.float64)
+    if arr.size != n_snippets - 1:
+        raise ValueError("expected_overlaps must have n_snippets-1 entries")
+    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
 def merge_read(
     seqs, logits_list, match: float, mismatch: float,
     gap_open: float, gap_extend: float, overlap_len: int = 25,
     submat: Optional[np.ndarray] = None,
+    expected_overlaps=None, offset_weight: float = 0.0,
 ):
     """Native whole-read overlap merge (reference merger.py:155-248 fold).
     ``seqs``: list[str]; ``logits_list``: list of per-base score lists.
+    ``expected_overlaps`` (len n-1) + ``offset_weight`` enable the
+    positional prior on each pairwise alignment (periodic-sequence fix).
     Returns (merged_seq, merged_logits) or None if the library is missing."""
     lib = _load()
     if lib is None:
@@ -218,12 +237,17 @@ def merge_read(
         submat.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         if submat is not None else None
     )
+    eo_keepalive, eo = (None, None)
+    if expected_overlaps is not None:
+        eo_keepalive, eo = _exp_overlaps_ptr(expected_overlaps, len(seqs))
     n = lib.rv_merge_read(
         blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         flat_logits.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         len(seqs), match, mismatch, gap_open, gap_extend, sm, overlap_len,
+        eo, float(offset_weight),
         out_seq, out_log.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
     )
+    del eo_keepalive
     return out_seq.value.decode(), out_log[:n].tolist()
 
 
@@ -232,6 +256,7 @@ def merge_read_flat(
     match: float, mismatch: float,
     gap_open: float, gap_extend: float, overlap_len: int = 25,
     submat: Optional[np.ndarray] = None,
+    expected_overlaps=None, offset_weight: float = 0.0,
 ):
     """:func:`merge_read` on pre-flattened inputs: ``blob`` is the snippet
     sequences concatenated as ASCII bytes, ``offsets[i]:offsets[i+1]``
@@ -253,10 +278,15 @@ def merge_read_flat(
         submat.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         if submat is not None else None
     )
+    eo_keepalive, eo = (None, None)
+    if expected_overlaps is not None:
+        eo_keepalive, eo = _exp_overlaps_ptr(expected_overlaps, n_snippets)
     n = lib.rv_merge_read(
         blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         flat_logits.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         n_snippets, match, mismatch, gap_open, gap_extend, sm, overlap_len,
+        eo, float(offset_weight),
         out_seq, out_log.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
     )
+    del eo_keepalive
     return out_seq.value.decode(), out_log[:n]

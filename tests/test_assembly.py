@@ -198,3 +198,98 @@ def test_merge_flat_matches_merge_arrays(seed):
         b = m.merge_flat(blob, offsets, flat)
         assert a.seq == b.seq
         np.testing.assert_allclose(a.logits, b.logits, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Positional-prior merging (the periodic-sequence fix, VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+def _periodic_snippets(period="ACGTAG", n_periods=60, width=22, stride=6):
+    """Cut perfect snippets from a perfectly periodic read: the worst case
+    for unconstrained overlap alignment (every period shift matches)."""
+    read = period * n_periods
+    snips, offsets = [], []
+    for s in range(0, len(read) - width + 1, stride):
+        snips.append(read[s : s + width])
+        offsets.append(s)
+    return read, snips, offsets
+
+
+def test_merge_periodic_read_shrinks_without_prior_and_not_with_it():
+    read, snips, offsets = _periodic_snippets()
+    pairs = [SeqLogitsPair(s, [0.9] * len(s)) for s in snips]
+    expected = np.full(len(snips) - 1, 16.0)  # width 22, stride 6
+    covered = offsets[-1] + 22  # snippets cover the read up to here
+
+    for use_native in (True, False):
+        m = Merger(use_native=use_native)
+        plain = m.merge(pairs)
+        # unconstrained local alignment picks a period-shifted overlap and
+        # deletes bases at (nearly) every junction
+        assert len(plain.seq) < 0.6 * len(read)
+
+        with_prior = m.merge(pairs, expected_overlaps=expected)
+        assert with_prior.seq == read[:covered]
+
+
+def test_merge_prior_native_matches_python():
+    rng = np.random.default_rng(3)
+    read, snips, _ = _periodic_snippets(period="ACGTAG", n_periods=40)
+    # inject basecall errors so alignments are non-trivial
+    bases = "ACGT"
+    noisy = []
+    for s in snips:
+        cs = list(s)
+        for k in range(len(cs)):
+            if rng.random() < 0.05:
+                cs[k] = bases[rng.integers(4)]
+        noisy.append("".join(cs))
+    pairs = [SeqLogitsPair(s, rng.random(len(s)).round(3).tolist()) for s in noisy]
+    expected = np.full(len(noisy) - 1, 16.0)
+
+    a = Merger(use_native=False).merge(pairs, expected_overlaps=expected)
+    b = Merger(use_native=True).merge(pairs, expected_overlaps=expected)
+    assert a.seq == b.seq
+    np.testing.assert_allclose(a.logits, b.logits, rtol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_prior_no_change_on_nonrepetitive_read(seed):
+    """On non-periodic sequence the true overlap is unambiguous: the prior
+    must leave the merge result identical to the unconstrained fold."""
+    rng = np.random.default_rng(seed)
+    read = "".join(rng.choice(list("ACGT"), 400))
+    width, stride = 22, 6
+    snips = [read[s : s + width] for s in range(0, len(read) - width + 1, stride)]
+    pairs = [SeqLogitsPair(s, rng.random(len(s)).round(3).tolist()) for s in snips]
+    expected = np.full(len(snips) - 1, float(width - stride))
+
+    for use_native in (True, False):
+        m = Merger(use_native=use_native)
+        plain = m.merge(pairs)
+        prior = m.merge(pairs, expected_overlaps=expected)
+        assert prior.seq == plain.seq == read
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_local_align_prior_disabled_is_plain_sw(seed):
+    rng = np.random.default_rng(seed + 100)
+    s1 = "".join(rng.choice(list("ACGT"), 25))
+    s2 = s1[9:] + "".join(rng.choice(list("ACGT"), 9))
+    plain = local_align(s1, s2)
+    with_w0 = local_align(s1, s2, expected_offset=9.0, offset_weight=0.0)
+    assert plain == with_w0
+
+
+def test_expected_overlaps_from_ranges():
+    from ravvent_tpu.assembly.merger import expected_overlaps_from_ranges
+
+    # 3 snippets, ~9 samples/base, stride 54 samples (6 bases), width 198
+    rr = np.array([[0, 198], [54, 252], [108, 306]])
+    lens = np.array([22, 22, 22])
+    eo = expected_overlaps_from_ranges(rr, lens)
+    np.testing.assert_allclose(eo, [16.0, 16.0])
+    # empty prediction falls back to the read-average rate
+    lens2 = np.array([22, 0, 22])
+    eo2 = expected_overlaps_from_ranges(rr, lens2)
+    assert eo2.shape == (2,) and np.all(eo2 > 0)
