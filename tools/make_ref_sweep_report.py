@@ -36,24 +36,40 @@ VOCABS = [45, 450, 1024, 2048, 4096]
 MODS = ["raw", "event", "joint"]
 
 
-def _tags(v: int, cross: bool = False) -> list:
-    """Result-file tags for a vocab size, preferred first. The 4096 point
-    has a superseding rerun tagged ref4096b (600 train reads instead of 300
-    — the diversity fix for the original run's train/val divergence, see
-    tools/fix_ref4096.sh); its results replace the original's when present."""
-    suffix = "cross" if cross else ""
-    return [f"ref{v}b{suffix}", f"ref{v}{suffix}"]
+# Tag generations per vocab size, newest first. ref4096 has superseding
+# reruns: 'c' = round-3 (generator coverage fix + depth (3,2) + progressive
+# vocab, tools/run_ref4096_r3.sh), 'b' = round-2 diversity retry
+# (tools/fix_ref4096.sh). A generation is used ONLY as a whole: the tag is
+# resolved once per vocab (newest generation whose full test-side file set
+# exists), so one report row never silently mixes models (ADVICE round 2).
+_GENERATIONS = ["c", "b", ""]
 
 
-def load_identity(results_dir: Path, beam: int, cross: bool = False):
+def resolve_tag(results_dir: Path, v: int) -> str:
+    """One result-file tag per vocab size: newest generation with the
+    complete test-side set (token_acc + beam5 + beam1 aggregates); if none
+    is complete, newest with any file; else the plain tag."""
+    candidates = [f"ref{v}{g}" for g in _GENERATIONS]
+    expected = ["token_acc.{t}.json",
+                "accuracy_results_all.{t}.beam5.json",
+                "accuracy_results_all.{t}.beam1.json"]
+    for tag in candidates:
+        if all((results_dir / e.format(t=tag)).exists() for e in expected):
+            return tag
+    for tag in candidates:
+        if any((results_dir / e.format(t=tag)).exists() for e in expected):
+            return tag
+    return candidates[-1]
+
+
+def load_identity(results_dir: Path, tags: dict, beam: int,
+                  cross: bool = False):
     """-> {mod: {vocab: [total, valid, invalid%]}} for one beam width."""
     out = {m: {} for m in MODS}
     for v in VOCABS:
-        for tag in _tags(v, cross):
-            p = results_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
-            if p.exists():
-                break
-        else:
+        tag = tags[v] + ("cross" if cross else "")
+        p = results_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
+        if not p.exists():
             continue
         for cells in json.loads(p.read_text()).values():
             for mod, triple in cells.items():
@@ -62,15 +78,12 @@ def load_identity(results_dir: Path, beam: int, cross: bool = False):
     return out
 
 
-def load_token_acc(results_dir: Path):
+def load_token_acc(results_dir: Path, tags: dict):
     """-> {mod: {vocab: {"strict": x, "val_style": y}}}"""
     out = {m: {} for m in MODS}
     for v in VOCABS:
-        for tag in _tags(v):
-            p = results_dir / f"token_acc.{tag}.json"
-            if p.exists():
-                break
-        else:
+        p = results_dir / f"token_acc.{tags[v]}.json"
+        if not p.exists():
             continue
         for cells in json.loads(p.read_text()).values():
             for mod, d in cells.items():
@@ -129,10 +142,11 @@ def main():
     from ravvent_tpu.tools.plots import plot_accuracy_vs_kmers
 
     rdir = Path(args.results_dir)
-    tok = load_token_acc(rdir)
-    id5 = load_identity(rdir, 5)
-    id1 = load_identity(rdir, 1)
-    id5x = load_identity(rdir, 5, cross=True)
+    tags = {v: resolve_tag(rdir, v) for v in VOCABS}
+    tok = load_token_acc(rdir, tags)
+    id5 = load_identity(rdir, tags, 5)
+    id1 = load_identity(rdir, tags, 1)
+    id5x = load_identity(rdir, tags, 5, cross=True)
     n_cells = sum(len(s) for s in tok.values())
     if n_cells == 0 and not any(id5[m] for m in MODS):
         print("no sweep results yet", file=sys.stderr)
@@ -218,6 +232,9 @@ def main():
           "Beam 1 — held-out reads:",
           "",
           identity_table(id1, {m: {} for m in MODS}),
+          "",
+          "Result-file tag used per vocab (one model generation per row): "
+          + ", ".join(f"{v}: `{t}`" for v, t in tags.items()) + ".",
           "",
           "Full triples (total, valid-only, invalid%) per cell are in",
           f"`{args.results_dir}/accuracy_results_all.ref*.beam*.json`",
