@@ -152,6 +152,85 @@ def _device_snippet_ranges(lens, n_snip, n_ev, n_rows: int, stride: int,
     return rr.astype(jnp.int32), er.astype(jnp.int32)
 
 
+def _device_event_features_selfscaled(sig, lens, n_ev):
+    """Event features with the scaler FIT ON DEVICE (the signal-only wire):
+    the 5 features (length, mean, stdv, mean^2, delta-mean — reference:
+    data_loader.py:74-76) are computed from segment cumsums of the z-scored
+    signal, then standardized with column mean/std over the read's own
+    events (StandardScaler semantics, population std; reference:
+    data_loader.py:78-79). The label-clip/patch quirks do not apply: this is
+    the label-free production path (no labeled region exists at inference).
+    Features are in z-signal units rather than raw units; standardization
+    makes the model input affine-invariant except for mean^2, whose raw-unit
+    offset differs — measured identity-neutral (see docs/PERFORMANCE.md)."""
+    E = lens.shape[0]
+    S = sig.shape[0]
+    rows = jnp.arange(E)
+    valid = rows < n_ev
+    lens_v = jnp.where(valid, lens, 0)
+    lens_safe = jnp.maximum(lens_v, 1)
+    cum = jnp.cumsum(lens_v)
+    starts = cum - lens_v
+    cs = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sig)])
+    cq = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sig * sig)])
+    s_idx = jnp.clip(starts, 0, S)
+    e_idx = jnp.clip(cum, 0, S)
+    ssum = cs[e_idx] - cs[s_idx]
+    sqsum = cq[e_idx] - cq[s_idx]
+    mean = ssum / lens_safe
+    var = sqsum / lens_safe - mean * mean
+    stdv = jnp.sqrt(jnp.maximum(var, 1.1754944e-38))
+    dmean = jnp.where(rows == 0, 0.0, mean - jnp.concatenate([mean[:1], mean[:-1]]))
+    feats = jnp.stack(
+        [lens_v.astype(jnp.float32), mean, stdv, mean * mean, dmean], axis=1
+    )
+    feats = jnp.where(valid[:, None], feats, 0.0)
+    n = jnp.maximum(n_ev, 1).astype(jnp.float32)
+    fmean = feats.sum(axis=0) / n
+    fvar = (jnp.where(valid[:, None], (feats - fmean[None, :]) ** 2, 0.0)
+            .sum(axis=0) / n)
+    fstd = jnp.sqrt(fvar)
+    fstd = jnp.where(fstd == 0.0, 1.0, fstd)
+    out = (feats - fmean[None, :]) / fstd[None, :]
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+def _device_snippet_count(lens, n_ev, n_rows: int, stride: int,
+                          raw_max_len: int = 200, max_window: int = 256):
+    """Number of snippet windows, by the host's stopping rule
+    (compute_fitting_event_ranges; reference: data_loader.py:29-46): windows
+    are generated every ``stride`` events until the first window whose end
+    event index reaches the event count (or a 0-length first window); a
+    window whose stride step passes the last event also ends generation."""
+    row = jnp.arange(n_rows, dtype=jnp.int32)
+    es = row * stride
+    cum = jnp.cumsum(lens)
+    W = max_window
+    need = (n_rows - 1) * stride + W + 2
+    E = lens.shape[0]
+    arr = jnp.concatenate(
+        [jnp.zeros(2, cum.dtype), cum, jnp.zeros(max(need - E - 2, 0), cum.dtype)]
+    )
+    span = (n_rows - 1) * stride + 1
+    w = jnp.stack(
+        [jax.lax.slice(arr, (k,), (k + span,), (stride,)) for k in range(W + 2)],
+        axis=1,
+    )
+    offset = w[:, 1]
+    # end_id WITHOUT the n_ev cap (host searchsorted semantics; the padded
+    # cumsum plateau only ever pushes end_id >= n_ev, which fails anyway)
+    cnt = jnp.sum(w[:, 2:] <= (raw_max_len + offset)[:, None], axis=1,
+                  dtype=jnp.int32)
+    end_id = es + cnt
+    fail = (end_id >= n_ev) | (end_id == 0)
+    stop_after = es + stride - 1 >= n_ev  # include this row, then stop
+    ok = jnp.cumsum(fail.astype(jnp.int32)) == 0
+    prev_stop = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(stop_after.astype(jnp.int32))[:-1]]
+    ) == 0
+    return jnp.sum((ok & prev_stop).astype(jnp.int32))
+
+
 class BasecallEngine:
     def __init__(
         self,
@@ -540,6 +619,68 @@ class BasecallEngine:
             static_argnames=("S_b", "E_b", "beam_width", "T_out", "n_rows",
                              "stride"))
 
+        def _segment(buf, S_b, E_b, N_max, stride):
+            # Signal-only wire ("sigdev"): ONE upload per read — the raw i16
+            # DAC samples + a 32-byte header (z-score affine, true length).
+            # Segmentation (reduce_window t-stats + peak scan), event-length
+            # assembly, event features (self-scaled), and snippet-range
+            # construction ALL run on device; nothing else ever travels
+            # host->device for the read. Boundaries are bit-identical to the
+            # streaming host detector (ops/event_detect.py parity domain,
+            # windows 6/9); the label-clip/patch quirks do not apply (no
+            # labels exist on this path — see docs).
+            from ravvent_tpu.ops.event_detect import (
+                detect_boundaries_device, fired_to_event_lens,
+            )
+
+            hdr = jax.lax.bitcast_convert_type(
+                buf[:32].reshape(8, 4), jnp.float32)
+            n_s = jax.lax.bitcast_convert_type(
+                buf[8:12].reshape(1, 4), jnp.int32)[0]
+            raw = jax.lax.bitcast_convert_type(
+                buf[32 : 32 + S_b * 2].reshape(S_b, 2), jnp.int16
+            ).astype(jnp.float32)
+            fired = detect_boundaries_device(raw[None, :], n_valid=n_s)[0]
+            lens, n_ev, n_true = fired_to_event_lens(fired, 6, 9, E_b)
+            sig = (raw - hdr[0]) / hdr[1]
+            sig = jnp.where(jnp.arange(S_b) < n_s, sig, 0.0)
+            feats = _device_event_features_selfscaled(sig, lens, n_ev)
+            n_snip = _device_snippet_count(lens, n_ev, N_max, stride)
+            rr, er = _device_snippet_ranges(lens, n_snip, n_ev, N_max, stride)
+            meta = jnp.stack([n_true, n_snip])
+            return sig, feats, rr, er, meta
+
+        self._segment_jit = jax.jit(
+            _segment, static_argnames=("S_b", "E_b", "N_max", "stride"))
+
+        def _slab_slice(sig, feats, rr, er, start, slab, max_steps, beam_width,
+                        T_out):
+            rr_s = jax.lax.dynamic_slice(rr, (start, 0), (slab, 2))
+            er_s = jax.lax.dynamic_slice(er, (start, 0), (slab, 2))
+            return _beam_compact(self.params, sig, rr_s, feats, er_s,
+                                 max_steps, beam_width, T_out=T_out)
+
+        if mesh is None:
+            self._slab_slice_jit = jax.jit(
+                _slab_slice, static_argnames=("slab", "beam_width", "T_out"))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def _slab_slice_mesh(sig, feats, rr, er, start, slab, max_steps,
+                                 beam_width, T_out):
+                rr_s = jax.lax.dynamic_slice(rr, (start, 0), (slab, 2))
+                er_s = jax.lax.dynamic_slice(er, (start, 0), (slab, 2))
+                body = lambda p, s, r, f, e, ms: _beam_compact(
+                    p, s, r, f, e, ms, beam_width, T_out=T_out)
+                return jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(), P("data"), P(), P("data"), P()),
+                    out_specs=P("data"), check_vma=False,
+                )(self.params, sig, rr_s, feats, er_s, max_steps)
+
+            self._slab_slice_jit = jax.jit(
+                _slab_slice_mesh, static_argnames=("slab", "beam_width", "T_out"))
+
     # ------------------------------------------------------------------
     def _put(self, x):
         """Device placement for host operands: replicated over the mesh in
@@ -799,6 +940,94 @@ class BasecallEngine:
                 toks.append(arr[:, :T].copy().view(np.int8).astype(np.int64))
                 prbs.append(arr[:, T:].copy().view(np.float16).astype(np.float32))
         return np.concatenate(toks), np.concatenate(prbs)
+
+    # -------------------- signal-only wire ("sigdev") --------------------
+    def dispatch_beam_signal(
+        self,
+        raw_signal: np.ndarray,  # [S] raw DAC samples (ints)
+        max_output_len: Optional[int] = None,
+        beam_width: int = 5,
+        stride: int = 6,
+    ) -> "PendingBeamCompact":
+        """Fast5-raw-in dispatch: ships ONLY the i16 raw signal (+32-byte
+        header). Event segmentation, features, and snippet ranges are all
+        computed on device (see ``_segment`` in ``__init__``); decode slabs
+        then run over the device-resident arrays with no further uploads.
+
+        Returns a handle for :meth:`collect_beam_compact`. Returns None if
+        the read overflows the device segmentation buffers (fall back to the
+        host compact path). One ~30ms host sync fetches the (n_events,
+        n_snippets) pair — the only host round-trip on this path; in the
+        pipelined evaluator it overlaps other reads' compute."""
+        raw = np.asarray(raw_signal)
+        n_s = int(raw.size)
+        if n_s == 0:
+            return PendingBeamCompact([], self.total_steps)
+        if max_output_len is None:
+            max_output_len = self.total_steps + 1
+        # host z-score affine (O(S) streaming; float64 like the host path)
+        rmean = float(raw.astype(np.float64).mean())
+        rstd = float(raw.astype(np.float64).std())
+        rstd = rstd if rstd != 0.0 else 1.0
+        S_b = self._bucket(n_s, 65536)
+        E_b = S_b // 2          # events are >= 1 sample
+        # over-allocate rows by a full chunk so the slab dynamic_slice never
+        # clamps (rows past n_snip are zeroed by the validity mask)
+        N_max = E_b // stride + 1 + self.chunk_size
+        hdr = np.zeros(8, np.float32)
+        hdr[0], hdr[1] = rmean, rstd
+        hdr[2:3].view(np.int32)[0] = n_s
+        buf = np.zeros(32 + S_b * 2, np.uint8)
+        buf[:32] = hdr.view(np.uint8)
+        buf[32 : 32 + n_s * 2] = (
+            raw.astype(np.int16).view(np.uint8).reshape(-1))
+        sig, feats, rr, er, meta = self._segment_jit(
+            self._put(buf), S_b=S_b, E_b=E_b, N_max=N_max, stride=stride)
+        n_true, n_snip = (int(v) for v in np.asarray(meta))
+        if n_true > E_b:  # segmentation buffer overflow: caller falls back
+            return None
+        if n_snip == 0:
+            return PendingBeamCompact([], self.total_steps)
+
+        step = 1024
+        sizes = sorted(
+            {min(self.chunk_size, m) for m in
+             ([512] + [step * i for i in range(1, self.chunk_size // step + 1)]
+              + [self.chunk_size])},
+            reverse=True)
+        T_fetch = min(self.total_steps, ((max_output_len + 7) // 8) * 8)
+        ms = self._ms_scalar(max_output_len - 1)
+        pending = []
+        s = 0
+        while s < n_snip:
+            rem = n_snip - s
+            slab = min((z for z in sizes if z >= rem), default=sizes[0])
+            # slab starts repeat across reads (0, 1024, ...): reuse the
+            # cached device scalars so no 4-byte upload pays link latency
+            packed = self._slab_slice_jit(
+                sig, feats, rr, er, self._ms_scalar(s), slab, ms,
+                beam_width=beam_width, T_out=T_fetch,
+            )
+            packed.copy_to_host_async()
+            pending.append((packed, min(slab, rem)))
+            s += slab
+        return PendingBeamCompact(pending, T_fetch)
+
+    def predict_beam_signal(
+        self,
+        raw_signal: np.ndarray,
+        max_output_len: Optional[int] = None,
+        beam_width: int = 5,
+        stride: int = 6,
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Raw signal in, per-snippet (tokens, step probs) out — the whole
+        front half (segmentation -> features -> snippets) on device. None on
+        segmentation-buffer overflow (use the host compact path then)."""
+        h = self.dispatch_beam_signal(raw_signal, max_output_len, beam_width,
+                                      stride)
+        if h is None:
+            return None
+        return self.collect_beam_compact(h)
 
     def _pad_chunk(self, arr: np.ndarray) -> Tuple[np.ndarray, int]:
         n = arr.shape[0]

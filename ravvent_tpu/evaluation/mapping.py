@@ -51,6 +51,7 @@ class MappingEvaluator:
         beam_width: int = BEAM_WIDTH_DEFAULT,
         cache_dir: Optional[str] = None,
         use_minimap2: Optional[bool] = None,
+        wire: str = "compact",
     ) -> None:
         self.merger = Merger(scores_id=merger_scores_id)
         self.stride = stride
@@ -60,6 +61,12 @@ class MappingEvaluator:
         self.use_minimap2 = (
             minimap2_available() if use_minimap2 is None else use_minimap2
         )
+        # "sigdev": raw signal ships as-is; segmentation/features/snippet
+        # ranges all run on device (BasecallEngine.predict_beam_signal).
+        # Label-free path: no clip/patch quirks, and the merge runs without
+        # the raw-range positional prior (the host never sees the ranges).
+        assert wire in ("compact", "sigdev")
+        self.wire = wire
 
     # ------------------------------------------------------------------
     def basecall_read(self, signal_path, label_path=None) -> SeqLogitsPair:
@@ -67,6 +74,11 @@ class MappingEvaluator:
         (reference: ravvent_mapping_evaluator.py:31-57)."""
         if label_path is None:
             label_path = Path(signal_path).with_suffix(".label")
+        if self.wire == "sigdev":
+            out = self._basecall_read_sigdev(signal_path, label_path)
+            if out is not None:
+                return out
+            # segmentation-buffer overflow: fall through to the host path
         sig, rr, ev, er, nuc, aux = load_read_compact_ex(
             signal_path, label_path, self.stride, cache_dir=self.cache_dir
         )
@@ -91,6 +103,37 @@ class MappingEvaluator:
               if rr.shape[0] > 1 else None)
         return self.merger.merge_flat(blob, offsets, probs[prefix],
                                       expected_overlaps=eo)
+
+    def _basecall_read_sigdev(self, signal_path, label_path):
+        """Signal-only wire: the read's raw samples are the ONLY upload; the
+        decode-length bound still comes from the ground-truth target width
+        (reference quirk #4) when labels exist."""
+        raw = chiron.load_signal(signal_path)
+        max_output_len = None
+        lp = Path(label_path)
+        if lp.exists():
+            from ravvent_tpu.data.snippets import load_read_compact_ex
+
+            # target width via the cached host pipeline (quirk #4 parity)
+            _, _, _, _, nuc, _ = load_read_compact_ex(
+                signal_path, label_path, self.stride, cache_dir=self.cache_dir)
+            if nuc.shape[0]:
+                max_output_len = int((nuc != 0).sum(axis=1).max())
+        out = self.engine.predict_beam_signal(
+            raw, max_output_len=max_output_len, beam_width=self.beam_width,
+            stride=self.stride)
+        if out is None:
+            return None
+        tokens, probs = out
+        if tokens.shape[0] == 0:
+            return SeqLogitsPair("", [])
+        from ravvent_tpu.tokenizer import NUC_TOKENIZER
+
+        _, blob, offsets = NUC_TOKENIZER.sequences_to_texts_flat(tokens)
+        probs = np.asarray(probs, dtype=np.float64)
+        counts = np.diff(offsets)
+        prefix = np.arange(probs.shape[1])[None, :] < counts[:, None]
+        return self.merger.merge_flat(blob, offsets, probs[prefix])
 
     def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:
         """Per-read identity (reference: ravvent_mapping_evaluator.py:31-72)."""

@@ -40,7 +40,8 @@ def _windowed_sums(x: jnp.ndarray, w: int) -> jnp.ndarray:
     return s
 
 
-def compute_tstats_device(raw: jnp.ndarray, w: int, w2: int) -> jnp.ndarray:
+def compute_tstats_device(raw: jnp.ndarray, w: int, w2: int,
+                          n_valid=None) -> jnp.ndarray:
     """Vectorized t-stat for window ``w`` over a batch of reads [B, S].
 
     ``tstat[:, i]`` equals the streaming detector's value while processing
@@ -48,6 +49,11 @@ def compute_tstats_device(raw: jnp.ndarray, w: int, w2: int) -> jnp.ndarray:
     m = i + 1 - w2 (buf_mid) and S_t[k] = sum of samples[0..k-1]:
       sum1 = S_t[m] - S_t[m-w]   = samples[m-w .. m-1]
       sum2 = S_t[m+w] - S_t[m]   = samples[m   .. m+w-1]
+
+    ``n_valid`` (traced scalar, default = S) is the true per-read length
+    when ``raw`` is zero-padded to a static bucket: windows reaching past it
+    are dead, exactly as if the array ended there — so the padded program is
+    bit-identical to running on the exact-length array.
     """
     B, S = raw.shape
     x = raw.astype(jnp.float32)
@@ -80,7 +86,8 @@ def compute_tstats_device(raw: jnp.ndarray, w: int, w2: int) -> jnp.ndarray:
     tstat = jnp.abs(mean2 - mean1) / jnp.sqrt(comb / wf)
 
     # quick return: t = i + 2 <= 2w (and window2 must fit in the read)
-    live = ((i + 2) > 2 * w)[None, :] & (lo2 >= 0)[None, :] & (lo2 + w <= S)[None, :]
+    S_eff = S if n_valid is None else n_valid
+    live = ((i + 2) > 2 * w)[None, :] & (lo2 >= 0)[None, :] & (lo2 + w <= S_eff)[None, :]
     if w < 2:
         return jnp.zeros_like(tstat)
     return jnp.where(live, tstat, 0.0)
@@ -181,20 +188,49 @@ def detect_boundaries_device(
     threshold1: float = 1.4,
     threshold2: float = 9.0,
     peak_height: float = 0.2,
+    n_valid=None,
 ) -> jnp.ndarray:
     """Full on-device pass: returns bool [B, S] mask of event-end firings.
 
     Event ends in stream coordinates: ``end = i + 2 - w2 - w1`` for fired
     sample i. Only window configs with ``w2 <= 2*w1`` are in the exact-parity
-    domain."""
+    domain. ``n_valid`` (traced) gives the true read length when ``raw`` is
+    zero-padded to a static bucket — firings are then bit-identical to the
+    exact-length run (samples >= n_valid never fire)."""
     if w2 > 2 * w1:
         raise ValueError(
             "on-device event detection supports w2 <= 2*w1 (exact-parity "
             "domain); use the host detector for other configs"
         )
-    t1 = compute_tstats_device(raw, w1, w2)
-    t2 = compute_tstats_device(raw, w2, w2)
-    return peak_scan_device(t1, t2, w1, w2, threshold1, threshold2, peak_height)
+    t1 = compute_tstats_device(raw, w1, w2, n_valid)
+    t2 = compute_tstats_device(raw, w2, w2, n_valid)
+    fired = peak_scan_device(t1, t2, w1, w2, threshold1, threshold2, peak_height)
+    if n_valid is not None:
+        fired = fired & (jnp.arange(raw.shape[1])[None, :] < n_valid)
+    return fired
+
+
+def fired_to_event_lens(fired: jnp.ndarray, w1: int, w2: int, max_events: int):
+    """Fired mask [S] -> (lens [max_events] i32, n_events i32, uncapped count).
+
+    Mirrors :func:`boundaries_to_events`' boundary semantics (strictly
+    increasing ends; ends <= 0 skipped) without materializing events on
+    host: ends scatter into a fixed-size array; lengths are the diffs.
+    ``n_events`` saturates at ``max_events`` — callers must check the
+    uncapped count to detect overflow."""
+    S = fired.shape[0]
+    i = jnp.arange(S, dtype=jnp.int32)
+    ends = i + 2 - w2 - w1
+    keep = fired & (ends > 0)
+    n_true = jnp.sum(keep.astype(jnp.int32))
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep, pos, max_events)
+    ends_arr = jnp.zeros(max_events, jnp.int32).at[idx].set(ends, mode="drop")
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), ends_arr[:-1]])
+    n_ev = jnp.minimum(n_true, max_events)
+    rows = jnp.arange(max_events, dtype=jnp.int32)
+    lens = jnp.where(rows < n_ev, ends_arr - prev, 0)
+    return lens, n_ev, n_true
 
 
 def boundaries_to_events(

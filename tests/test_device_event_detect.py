@@ -71,3 +71,129 @@ def test_float32_precision_on_long_read():
     db = set(map(int, dev_events[:, 0]))
     agree = len(hb & db) / max(len(hb), 1)
     assert agree > 0.999, agree
+
+
+# ---------------------------------------------------------------------------
+# Signal-only wire ("sigdev"): full on-device segmentation pipeline
+# ---------------------------------------------------------------------------
+
+def test_fired_to_event_lens_matches_boundaries_to_events():
+    from ravvent_tpu.ops.event_detect import fired_to_event_lens
+
+    rng = np.random.default_rng(5)
+    raw = synth(rng, 150)
+    fired = np.asarray(
+        detect_boundaries_device(jnp.asarray(raw[None, :], jnp.float32)))[0]
+    ref = boundaries_to_events(raw, fired)
+    lens, n_ev, n_true = jnp.asarray(fired_to_event_lens(
+        jnp.asarray(fired), 6, 9, 4096)[0]), *[
+        int(x) for x in fired_to_event_lens(jnp.asarray(fired), 6, 9, 4096)[1:]]
+    assert n_true == n_ev == ref.shape[0]
+    np.testing.assert_array_equal(np.asarray(lens)[:n_ev], ref[:, 1].astype(int))
+    # starts are the cumsum of lens (events tile from 0)
+    starts = np.concatenate(([0], np.cumsum(np.asarray(lens)[:n_ev])[:-1]))
+    np.testing.assert_array_equal(starts, ref[:, 0].astype(int))
+
+
+def test_padded_detection_bit_identical_to_exact_length():
+    """Zero-padding to a static bucket with n_valid must not change any
+    firing (the sigdev wire pads reads to 64k buckets)."""
+    rng = np.random.default_rng(9)
+    raw = synth(rng, 120)
+    S = len(raw)
+    exact = np.asarray(
+        detect_boundaries_device(jnp.asarray(raw[None, :], jnp.float32)))[0]
+    padded = np.zeros(S + 977, np.float32)
+    padded[:S] = raw
+    p = np.asarray(detect_boundaries_device(
+        jnp.asarray(padded[None, :]), n_valid=S))[0]
+    np.testing.assert_array_equal(p[:S], exact)
+    assert not p[S:].any()
+
+
+def test_sigdev_segmentation_matches_host_pipeline():
+    """The engine's device segmentation program must reproduce the host
+    pipeline label-free: streaming-detector boundaries (bit-exact), the
+    host sliding-window snippet rule on those events, and self-scaled
+    features (close to host StandardScaler output)."""
+    import jax
+
+    from ravvent_tpu.config import ModelConfig
+    from ravvent_tpu.data.event_detector import StreamingEventDetector
+    from ravvent_tpu.data.snippets import (
+        compute_fitting_event_ranges, standardize_fit,
+    )
+    from ravvent_tpu.evaluation.basecall import BasecallEngine
+    from ravvent_tpu.models.basecaller import init_basecaller
+
+    rng = np.random.default_rng(13)
+    raw = synth(rng, 400)
+
+    mcfg = ModelConfig(enc_units=8, dec_units=8, encoder_depth=1,
+                      decoder_depth=1, rnn_type="bilstm", data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), mcfg)
+    eng = BasecallEngine(params, mcfg, chunk_size=512)
+
+    # run just the segmentation program the way dispatch_beam_signal does
+    n_s = raw.size
+    rmean = float(raw.astype(np.float64).mean())
+    rstd = float(raw.astype(np.float64).std())
+    S_b = eng._bucket(n_s, 65536)
+    E_b = S_b // 2
+    N_max = E_b // 6 + 1 + eng.chunk_size
+    hdr = np.zeros(8, np.float32)
+    hdr[0], hdr[1] = rmean, rstd
+    hdr[2:3].view(np.int32)[0] = n_s
+    buf = np.zeros(32 + S_b * 2, np.uint8)
+    buf[:32] = hdr.view(np.uint8)
+    buf[32:32 + n_s * 2] = raw.astype(np.int16).view(np.uint8).reshape(-1)
+    sig, feats, rr, er, meta = eng._segment_jit(
+        jnp.asarray(buf), S_b=S_b, E_b=E_b, N_max=N_max, stride=6)
+    n_ev, n_snip = (int(v) for v in np.asarray(meta))
+
+    # host label-free reference
+    host_events = StreamingEventDetector(6, 9).run(raw)
+    assert n_ev == len(host_events)
+    host_lens = np.array([e.length for e in host_events], np.int64)
+    host_er = compute_fitting_event_ranges(host_lens, 6)
+    assert n_snip == host_er.shape[0]
+    np.testing.assert_array_equal(np.asarray(er)[:n_snip], host_er)
+    # raw ranges: [start of first event, start of last event)
+    host_starts = np.concatenate(([0], np.cumsum(host_lens)))[:-1]
+    host_rr = np.column_stack(
+        (host_starts[host_er[:, 0]], host_starts[host_er[:, 1] - 1]))
+    np.testing.assert_array_equal(np.asarray(rr)[:n_snip], host_rr)
+
+    # features: host standardization of (len, mean, stdv, mean^2, dmean)
+    # computed on the z-scored signal
+    z = (raw.astype(np.float64) - rmean) / rstd
+    means = np.array([z[e.start:e.start + e.length].mean() for e in host_events])
+    stds = np.array([z[e.start:e.start + e.length].std() for e in host_events])
+    dmean = np.concatenate(([0.0], np.diff(means)))
+    F = np.column_stack((host_lens.astype(float), means, stds, means**2, dmean))
+    fm, fs = standardize_fit(F)
+    host_feats = (F - fm) / fs
+    np.testing.assert_allclose(
+        np.asarray(feats)[:n_ev], host_feats, rtol=2e-2, atol=2e-2)
+
+
+def test_sigdev_end_to_end_decode_runs():
+    """predict_beam_signal: raw ints in, (tokens, probs) out, row count =
+    the host snippet count."""
+    import jax
+
+    from ravvent_tpu.config import ModelConfig
+    from ravvent_tpu.evaluation.basecall import BasecallEngine
+    from ravvent_tpu.models.basecaller import init_basecaller
+
+    rng = np.random.default_rng(21)
+    raw = synth(rng, 300)
+    mcfg = ModelConfig(enc_units=8, dec_units=8, encoder_depth=1,
+                      decoder_depth=1, rnn_type="bilstm", data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), mcfg)
+    eng = BasecallEngine(params, mcfg, chunk_size=512)
+    out = eng.predict_beam_signal(raw, max_output_len=32, beam_width=2)
+    assert out is not None
+    tokens, probs = out
+    assert tokens.shape[0] > 10
+    assert tokens.shape == probs.shape
