@@ -177,3 +177,16 @@ def test_mapper_on_reduced_vocab_genome():
     qry = _mutate(read, rng, sub=0.05, ins=0.03, dele=0.03)
     res = sce_mapper.map_identity(qry, read)
     assert res["identity"] > 0.8
+
+
+def test_crosscheck_fixtures_self_check():
+    """The committed crosscheck fixtures (the external minimap2 validation
+    harness, tools/crosscheck_mapper.py) must reproduce exactly — guards the
+    mapper against silent behavior drift."""
+    import importlib
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    cc = importlib.import_module("crosscheck_mapper")
+    assert cc.self_check() == 0
