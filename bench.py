@@ -227,6 +227,16 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
                 for _ in range(passes)),
                key=lambda r: r["wall_s"])
 
+    # Signal-only wire comparison (VERDICT r2 item 4): same engine, same
+    # stream, but the raw i16 samples are the ONLY upload — segmentation,
+    # event features and snippet ranges all run on device. The identity of
+    # this path is measured separately below when a checkpoint is present.
+    pe_sig = PerformanceEvaluator(engine, beam_width=beam_width,
+                                  cache_dir=cache, wire="sigdev")
+    pipe_sig = min((pe_sig.run_pipelined(stream, inflight=8, finishers=4)
+                    for _ in range(passes)),
+                   key=lambda r: r["wall_s"])
+
     details = {
         "device": str(jax.devices()[0]),
         "memory": memory,
@@ -242,6 +252,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         "bases_per_s": bases_per_s,
         "samples_per_s": samples_per_s,
         "pipeline": pipe,
+        "pipeline_sigdev": pipe_sig,
         "reads": results,
     }
 
@@ -252,6 +263,16 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         details["identity_total"] = total
         details["identity_valid"] = valid
         details["invalid_pct"] = invalid
+        # identity over the signal-only wire (label-free front half)
+        evs = MappingEvaluator(engine, beam_width=beam_width, cache_dir=cache,
+                               wire="sigdev")
+        evs.evaluate_files(fi, BENCH_DATA / "map_results.sigdev.json",
+                           verbose=False)
+        ts, vs, inv = evs.compute_total_results(
+            BENCH_DATA / "map_results.sigdev.json")
+        details["identity_total_sigdev"] = ts
+        details["identity_valid_sigdev"] = vs
+        details["invalid_pct_sigdev"] = inv
 
     return details
 
@@ -356,7 +377,8 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)["bases_per_s"]
     headline = max(details["bases_per_s"],
-                   details["pipeline"]["bases_per_s"])
+                   details["pipeline"]["bases_per_s"],
+                   details.get("pipeline_sigdev", {}).get("bases_per_s", 0.0))
     vs = headline / baseline if baseline else 1.0
 
     print(json.dumps({

@@ -34,12 +34,19 @@ class PerformanceEvaluator:
         stride: int = 6,
         beam_width: int = 5,
         cache_dir: Optional[str] = None,
+        wire: str = "compact",
     ) -> None:
         self.merger = Merger(scores_id=merger_scores_id)
         self.stride = stride
         self.engine = engine
         self.beam_width = beam_width
         self.cache_dir = cache_dir
+        # "sigdev": dispatch the raw i16 signal only; segmentation/features/
+        # ranges run on device (engine.dispatch_beam_signal). The merge then
+        # runs without the raw-range positional prior (host never sees the
+        # ranges), and t_data_loading drops to a raw-signal file read.
+        assert wire in ("compact", "sigdev")
+        self.wire = wire
 
     def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:
         label_path = Path(signal_data_source).with_suffix(".label")
@@ -89,6 +96,13 @@ class PerformanceEvaluator:
             "total": t_data_loading + t_predicting + t_postprocessing + t_merge,
             "total_processing": t_predicting + t_postprocessing + t_merge,
         }
+
+    def _dispatch_compact(self, path, label_path):
+        sig, rr, ev, er, nuc, aux = load_read_compact_ex(
+            path, label_path, self.stride, cache_dir=self.cache_dir)
+        max_output_len = int((nuc != 0).sum(axis=1).max()) if rr.shape[0] else 2
+        return self.engine.dispatch_beam_compact(
+            sig, rr, ev, er, max_output_len, self.beam_width, aux=aux)
 
     @staticmethod
     def _postprocess(tokens, probs):
@@ -161,6 +175,22 @@ class PerformanceEvaluator:
             for path in signal_paths:
                 t0 = timer()
                 label_path = Path(path).with_suffix(".label")
+                if self.wire == "sigdev":
+                    raw = chiron.load_signal(path)
+                    ranges, _ = chiron.load_label(label_path)
+                    bases_num += int(ranges.shape[0])
+                    samples_num += int(raw.size)
+                    t1 = timer()
+                    stages["load"] += t1 - t0
+                    handle = self.engine.dispatch_beam_signal(
+                        raw, beam_width=self.beam_width, stride=self.stride)
+                    stages["dispatch"] += timer() - t1
+                    if handle is None:  # segmentation overflow: host path
+                        handle = self._dispatch_compact(path, label_path)
+                    pending.append(pool.submit(finish, handle, None))
+                    while len(pending) >= inflight:
+                        pending.popleft().result()
+                    continue
                 sig, rr, ev, er, nuc, aux = load_read_compact_ex(
                     path, label_path, self.stride, cache_dir=self.cache_dir
                 )
@@ -184,6 +214,7 @@ class PerformanceEvaluator:
 
         return {
             "pipelined": True,
+            "wire": self.wire,
             "reads": len(signal_paths),
             "inflight": inflight,
             "finishers": finishers,
