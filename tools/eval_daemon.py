@@ -38,11 +38,14 @@ def line_key(line: str) -> str:
     return hashlib.sha1(line.strip().encode()).hexdigest()[:16]
 
 
+BACKEND = "cpu"
+
+
 def run_job(job: dict) -> bool:
     if job.get("kind") == "token_acc":
         # per-snippet token test accuracy (reference reduced-curve metric)
         tag, fi, cache = (job["evals"][0].split(":") + [None])[:3]
-        cmd = [sys.executable, "-u", "tools/eval_token_acc.py", "--cpu",
+        cmd = [sys.executable, "-u", "tools/eval_token_acc.py",
                "--checkpoint", job["ckpt"], "--data-type", job["data_type"],
                "--encoder-depth", str(job.get("encd", 2)),
                "--decoder-depth", str(job.get("decd", 1)),
@@ -52,7 +55,7 @@ def run_job(job: dict) -> bool:
         if cache:
             cmd += ["--cache-dir", cache]
     else:
-        cmd = [sys.executable, "-u", "tools/evaluate.py", "--cpu",
+        cmd = [sys.executable, "-u", "tools/evaluate.py",
                "--checkpoint", job["ckpt"],
                "--data-type", job["data_type"],
                "--encoder-depth", str(job.get("encd", 2)),
@@ -62,6 +65,8 @@ def run_job(job: dict) -> bool:
                "--out-dir", job["out_dir"]]
         for spec in job["evals"]:
             cmd += ["--eval", spec]
+    if BACKEND == "cpu":
+        cmd.insert(3, "--cpu")
     print(f"[{time.strftime('%H:%M:%S')}] RUN {job['ckpt']} "
           f"{job['data_type']} ({job.get('encd', 2)},{job.get('decd', 1)})",
           flush=True)
@@ -79,7 +84,15 @@ def main():
     ap.add_argument("--shard", default="0/1",
                     help="i/n: process only manifest lines with hash%%n==i, "
                          "so several daemons can drain one manifest")
+    ap.add_argument("--backend", default="cpu", choices=["cpu", "device"],
+                    help="cpu (default): evaluations run on the CPU backend "
+                         "so they overlap TPU training. device: use the "
+                         "default accelerator — the post-training drain mode "
+                         "(numerics differ from CPU f32 only at float tie "
+                         "level; do not mix within one sweep if avoidable)")
     args = ap.parse_args()
+    global BACKEND
+    BACKEND = args.backend
     shard_i, shard_n = (int(x) for x in args.shard.split("/"))
 
     done = set()
