@@ -3,8 +3,9 @@
 The reference compares gru/lstm/bigru/bilstm raw-modality accuracy on its
 reduced-simulator data (reference: make_plots.py:113-153, hard-coded values
 gru 0.833, lstm 0.864, bigru 0.951, bilstm 0.960). Our analog trains each
-type from scratch with the identical curriculum on the anchored ref45 set
-(tools/run_ablation.sh) and reports strict token test accuracy.
+type from scratch with the identical default curriculum on the anchored
+ref2048 set (tools/run_r3_queue5.sh) and reports teacher-forced token test
+accuracy plus merged-read mapping identity (beam 5, held-out reads).
 
   python tools/make_ablation_report.py
 """
@@ -53,21 +54,21 @@ def main():
     labels = [r[0] for r in have]
     plot_accuracy_bars(
         labels, [r[1] for r in have],
-        title="RNN-type ablation — raw modality, strict token test accuracy",
+        title="RNN-type ablation — raw modality, teacher-forced token test accuracy",
         reference_values=[REFERENCE_ABLATION[l] for l in labels],
         out=str(rdir / "rnn_ablation.png"))
 
     md = ["# RNN-type ablation (raw modality)",
           "",
-          "Each type trained from scratch with the identical full curriculum on",
-          "the anchored ref45 set (reference's committed 45-6-mer genome,",
-          "held-out test reads). Reference values are its hard-coded",
+          "Each type trained from scratch with the identical default curriculum",
+          "on the anchored ref2048 set (reference's committed 2048-6-mer genome,",
+          "noisy rung, held-out test reads). Reference values are its hard-coded",
           "reduced-simulator results (make_plots.py:113-153) — different signal",
           "generator and training budget, drawn for orientation.",
           "",
           "![rnn ablation](ablation/rnn_ablation.png)",
           "",
-          "| rnn | token acc (strict) | identity b5 | reference acc |",
+          "| rnn | token acc (teacher-forced) | identity b5 | reference acc |",
           "|---|---|---|---|"]
     for rnn, tok, idn in rows:
         md.append(f"| {rnn} | {tok:.3f}" if tok is not None else f"| {rnn} | —")

@@ -141,9 +141,17 @@ def tf_stage_peaks(results_dir: Path) -> str:
     import re
 
     best = {}
-    for f in results_dir.glob("token_acc.ref4096c_tfprobe*.json"):
+    probes = list(results_dir.glob("token_acc.ref4096c_tfprobe*.json"))
+    # the exported tf-stage-extension checkpoints (tools/run_r3_queue5.sh)
+    # are tf-metric measurements of the same lineage
+    probes += list(results_dir.glob("token_acc.ref4096tf*.json"))
+    for f in probes:
         m = re.match(r"token_acc\.ref4096c_tfprobe([a-z]*)\d+\.json", f.name)
-        mod = m.group(1) or "joint"
+        mod = m.group(1) if m else ""
+        if not m:
+            m2 = re.match(r"token_acc\.ref4096tf_?([a-z]*)\.json", f.name)
+            mod = m2.group(1) if m2 else ""
+        mod = mod or "joint"
         for cells in json.loads(f.read_text()).values():
             for mm, d in cells.items():
                 v = d.get("teacher_forced")
