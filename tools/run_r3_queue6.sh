@@ -70,7 +70,8 @@ done
 sleep 5
 
 # ---- 1. remaining ablation runs ----
-for rnn in gru lstm bilstm; do
+abl_eval bigru
+for rnn in gru lstm; do
   ck=checkpoints/ablation3/${rnn}_raw
   [ -d "$ck" ] || \
     run python -u tools/train_curriculum.py --dataset "$DS2" --tag abl \
@@ -78,6 +79,12 @@ for rnn in gru lstm bilstm; do
       --export "$ck" --workdir "runs/abl3.$rnn"
   abl_eval "$rnn"
 done
+# bilstm cell = the committed matrix3 (2,1) raw checkpoint: identical
+# protocol (same dataset, default curriculum, sweep-5 selection), so the
+# matrix cell IS the bilstm ablation run (as in queue1's design).
+[ -d checkpoints/ablation3 ] || mkdir -p checkpoints/ablation3
+[ -e checkpoints/ablation3/bilstm_raw ] || cp -r checkpoints/matrix3/d21_raw checkpoints/ablation3/bilstm_raw
+abl_eval bilstm
 
 # ---- 2. ref4096d raw anneal extension ----
 ck=checkpoints/sweep/ref4096d_raw
