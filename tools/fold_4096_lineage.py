@@ -1,0 +1,82 @@
+"""Fold the ref4096 anneal-extension results into the sweep row.
+
+The 4096 lineage is one warm-start chain (flagship32 -> ref4096c stages ->
+ref4096d anneal extension, tools/run_r3_queue5.sh / run_r3_queue6.sh). The
+sweep report resolves ONE tag per vocab row (no silent cross-model mixing,
+ADVICE round 2), so the extension's per-modality results are folded into
+the ref4096c-tagged files explicitly here — same model chain, deeper
+anneal — replacing the shallower-anneal cells they supersede. The
+ref4096d*-tagged originals stay on disk/git for provenance.
+
+  python tools/fold_4096_lineage.py [--results-dir results/ref_sweep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+from pathlib import Path
+
+# (source tag, modality) -> folded into ref4096c cells of that modality
+EXTENSIONS = [("ref4096d", "joint"), ("ref4096draw", "raw")]
+
+
+def fold_aggregate(rdir: Path, src_tag: str, dst_tag: str, mod: str) -> None:
+    for beam in (5, 1):
+        src = rdir / f"accuracy_results_all.{src_tag}.beam{beam}.json"
+        dst = rdir / f"accuracy_results_all.{dst_tag}.beam{beam}.json"
+        if not src.exists():
+            continue
+        sdata = json.loads(src.read_text())
+        ddata = json.loads(dst.read_text()) if dst.exists() else {}
+        for dk, cells in sdata.items():
+            if mod in cells:
+                ddata.setdefault(dk, {})[mod] = cells[mod]
+                print(f"beam{beam} {dk} {mod}: <- {src_tag} {cells[mod]}")
+        dst.write_text(json.dumps(ddata, indent=2))
+
+
+def fold_token(rdir: Path, src_tag: str, dst_tag: str, mod: str) -> None:
+    src = rdir / f"token_acc.{src_tag}.json"
+    dst = rdir / f"token_acc.{dst_tag}.json"
+    if not src.exists():
+        return
+    sdata = json.loads(src.read_text())
+    ddata = json.loads(dst.read_text()) if dst.exists() else {}
+    for dk, cells in sdata.items():
+        if mod in cells:
+            ddata.setdefault(dk, {})[mod] = cells[mod]
+            print(f"token {dk} {mod}: <- {src_tag}")
+    dst.write_text(json.dumps(ddata, indent=2))
+
+
+def fold_per_read(rdir: Path, src_tag: str, dst_tag: str, mod: str) -> None:
+    for f in rdir.glob(f"mapping_evaluator_results.{src_tag}.{mod}.*.json"):
+        # ...{src_tag}.{mod}.encdE.decdD.beamB.json (src_tag may itself
+        # contain no dots); replace only the tag segment
+        dst = rdir / f.name.replace(f".{src_tag}.", f".{dst_tag}.", 1)
+        shutil.copyfile(f, dst)
+        print(f"per-read: {f.name} -> {dst.name}")
+    src_cross = src_tag + "cross"
+    dst_cross = dst_tag + "cross"
+    for f in rdir.glob(f"mapping_evaluator_results.{src_cross}.{mod}.*.json"):
+        dst = rdir / f.name.replace(f".{src_cross}.", f".{dst_cross}.", 1)
+        shutil.copyfile(f, dst)
+        print(f"per-read: {f.name} -> {dst.name}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results-dir", default="results/ref_sweep")
+    args = ap.parse_args()
+    rdir = Path(args.results_dir)
+    for src_tag, mod in EXTENSIONS:
+        fold_aggregate(rdir, src_tag, "ref4096c", mod)
+        fold_aggregate(rdir, src_tag + "cross", "ref4096ccross", mod)
+        fold_token(rdir, src_tag, "ref4096c", mod)
+        fold_per_read(rdir, src_tag, "ref4096c", mod)
+
+
+if __name__ == "__main__":
+    main()
