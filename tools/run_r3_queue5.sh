@@ -137,3 +137,15 @@ for mod in raw event; do
 done
 
 echo "=== $(date +%H:%M:%S) r3 queue5 done"
+
+# ---- 7. ref4096d raw: anneal extension of the raw modality (queue4 plan) ----
+ck=checkpoints/sweep/ref4096d_raw
+[ -d "$ck" ] || \
+  run python -u tools/train_curriculum.py --dataset "$DS4" --tag ref4096draw \
+    --data-type raw --encoder-depth 3 --decoder-depth 2 \
+    --stages "$ANEXT" --sweep-epochs 14 \
+    --init-from checkpoints/sweep/ref4096c_raw \
+    --export "$ck" --workdir runs/ref4096d.raw
+add_eval "$DS4" ref4096draw raw 3 2 "$ck" results/ref_sweep bilstm token
+
+echo "=== $(date +%H:%M:%S) r3 queue5 fully done"
