@@ -74,6 +74,13 @@ def main():
         md.append(f"| {rnn} | {tok:.3f}" if tok is not None else f"| {rnn} | —")
         md[-1] += f" | {idn:.1f} |" if idn is not None else " | — |"
         md[-1] += f" {REFERENCE_ABLATION[rnn]:.3f} |"
+    if any(r[1] is None for r in rows):
+        missing = [r[0] for r in rows if r[1] is None]
+        md += ["",
+               f"Cells pending ({', '.join(missing)}): their training runs hit "
+               "a wedged-compile failure mode of the remote-tunnel device and "
+               "are requeued with bounded timeouts (tools/run_r3_queue7.sh "
+               "step 3)."]
     md.append("")
     Path(args.out).write_text("\n".join(md))
     print(f"wrote {args.out} ({len(have)} types)")
