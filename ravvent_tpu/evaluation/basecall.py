@@ -152,17 +152,25 @@ def _device_snippet_ranges(lens, n_snip, n_ev, n_rows: int, stride: int,
     return rr.astype(jnp.int32), er.astype(jnp.int32)
 
 
-def _device_event_features_selfscaled(sig, lens, n_ev):
+def _device_event_features_selfscaled(sig, lens, n_ev, rm=0.0, rs=1.0):
     """Event features with the scaler FIT ON DEVICE (the signal-only wire):
     the 5 features (length, mean, stdv, mean^2, delta-mean — reference:
     data_loader.py:74-76) are computed from segment cumsums of the z-scored
-    signal, then standardized with column mean/std over the read's own
-    events (StandardScaler semantics, population std; reference:
+    signal, mapped back to RAW units through the read's z-score affine
+    ``(rm, rs)``, then standardized with column mean/std over the read's own
+    events (per-read StandardScaler semantics, population std; reference:
     data_loader.py:78-79). The label-clip/patch quirks do not apply: this is
     the label-free production path (no labeled region exists at inference).
-    Features are in z-signal units rather than raw units; standardization
-    makes the model input affine-invariant except for mean^2, whose raw-unit
-    offset differs — measured identity-neutral (see docs/PERFORMANCE.md)."""
+
+    The raw-unit mapping matters: mean/stdv/delta-mean are affine-invariant
+    under the final standardization, but mean^2 is NOT — computing it from
+    z-unit means decorrelates that column from what the model was trained on
+    (measured corr 0.04 vs the host features on a bench read; the joint
+    flagship then emits empty sequences — the round-3 sigdev 0%-identity
+    bug). Cumsums run on the z-scored signal for precision (raw DAC^2
+    cumsums overflow f32's mantissa over ~100k samples); the affine map back
+    is exact arithmetic on the segment statistics.
+    """
     E = lens.shape[0]
     S = sig.shape[0]
     rows = jnp.arange(E)
@@ -177,9 +185,11 @@ def _device_event_features_selfscaled(sig, lens, n_ev):
     e_idx = jnp.clip(cum, 0, S)
     ssum = cs[e_idx] - cs[s_idx]
     sqsum = cq[e_idx] - cq[s_idx]
-    mean = ssum / lens_safe
-    var = sqsum / lens_safe - mean * mean
-    stdv = jnp.sqrt(jnp.maximum(var, 1.1754944e-38))
+    mean_z = ssum / lens_safe
+    var_z = sqsum / lens_safe - mean_z * mean_z
+    mean = rm + rs * mean_z
+    # FLT_MIN clamp in raw units, matching the host formula
+    stdv = jnp.sqrt(jnp.maximum(rs * rs * var_z, 1.1754944e-38))
     dmean = jnp.where(rows == 0, 0.0, mean - jnp.concatenate([mean[:1], mean[:-1]]))
     feats = jnp.stack(
         [lens_v.astype(jnp.float32), mean, stdv, mean * mean, dmean], axis=1
@@ -640,11 +650,16 @@ class BasecallEngine:
             raw = jax.lax.bitcast_convert_type(
                 buf[32 : 32 + S_b * 2].reshape(S_b, 2), jnp.int16
             ).astype(jnp.float32)
-            fired = detect_boundaries_device(raw[None, :], n_valid=n_s)[0]
+            # block-parallel peak scan: ~170x fewer sequential steps than the
+            # per-sample scan (the round-3 sigdev dispatch bottleneck), still
+            # bit-exact via on-device coupling verification + fallback
+            fired = detect_boundaries_device(
+                raw[None, :], n_valid=n_s, block=512)[0]
             lens, n_ev, n_true = fired_to_event_lens(fired, 6, 9, E_b)
             sig = (raw - hdr[0]) / hdr[1]
             sig = jnp.where(jnp.arange(S_b) < n_s, sig, 0.0)
-            feats = _device_event_features_selfscaled(sig, lens, n_ev)
+            feats = _device_event_features_selfscaled(
+                sig, lens, n_ev, rm=hdr[0], rs=hdr[1])
             n_snip = _device_snippet_count(lens, n_ev, N_max, stride)
             rr, er = _device_snippet_ranges(lens, n_snip, n_ev, N_max, stride)
             meta = jnp.stack([n_true, n_snip])

@@ -93,6 +93,83 @@ def compute_tstats_device(raw: jnp.ndarray, w: int, w2: int,
     return jnp.where(live, tstat, 0.0)
 
 
+def _peak_step(carry, ts, w1, w2, threshold1, threshold2, peak_height):
+    """One sample of the dual-detector peak state machine (any state shape;
+    all resets broadcast from scalars). ``ts = (t1, t2, bm, active)``:
+    ``active=False`` passes the carry through unchanged and cannot fire —
+    used by the blocked scan to dead-step block 0's warm-up region."""
+    (s_pos, s_val, s_valid, l_pos, l_val, l_valid, l_masked) = carry
+    t1, t2, bm, active = ts
+
+    # --- short detector (skipped when bm == 0: masked_to 0 >= 0) ---
+    run_s = (bm != 0) & active
+    in_case1 = s_pos == -1
+    # case 1
+    lower = t1 < s_val
+    rise = (t1 - s_val) > peak_height
+    s_val_c1 = jnp.where(lower, t1, jnp.where(rise, t1, s_val))
+    s_pos_c1 = jnp.where(rise & ~lower, bm, s_pos)
+    # case 2
+    upd = t1 > s_val
+    s_val_c2 = jnp.where(upd, t1, s_val)
+    s_pos_c2 = jnp.where(upd, bm, s_pos)
+    mask_long = s_val_c2 > threshold1
+    s_valid_c2 = s_valid | ((s_val_c2 - t1 > peak_height) & (s_val_c2 > threshold1))
+    fire_s = s_valid_c2 & ((bm - s_pos_c2) > (w1 / 2.0))
+    s_pos_new = jnp.where(in_case1, s_pos_c1, jnp.where(fire_s, -1, s_pos_c2))
+    s_val_new = jnp.where(in_case1, s_val_c1, jnp.where(fire_s, t1, s_val_c2))
+    s_valid_new = jnp.where(in_case1, s_valid, jnp.where(fire_s, False, s_valid_c2))
+    fire_s = fire_s & ~in_case1 & run_s
+    s_pos_new = jnp.where(run_s, s_pos_new, s_pos)
+    s_val_new = jnp.where(run_s, s_val_new, s_val)
+    s_valid_new = jnp.where(run_s, s_valid_new, s_valid)
+    do_mask = run_s & ~in_case1 & mask_long
+
+    # long detector reset by short masking
+    l_masked = jnp.where(do_mask, (s_pos_c2 + w1).astype(l_masked.dtype), l_masked)
+    l_pos = jnp.where(do_mask, -1, l_pos)
+    l_val = jnp.where(do_mask, FLT_MAX, l_val)
+    l_valid = jnp.where(do_mask, False, l_valid)
+
+    # --- long detector ---
+    run_l = (l_masked < bm) & active
+    in_case1l = l_pos == -1
+    lowerl = t2 < l_val
+    risel = (t2 - l_val) > peak_height
+    l_val_c1 = jnp.where(lowerl, t2, jnp.where(risel, t2, l_val))
+    l_pos_c1 = jnp.where(risel & ~lowerl, bm, l_pos)
+    updl = t2 > l_val
+    l_val_c2 = jnp.where(updl, t2, l_val)
+    l_pos_c2 = jnp.where(updl, bm, l_pos)
+    l_valid_c2 = l_valid | ((l_val_c2 - t2 > peak_height) & (l_val_c2 > threshold2))
+    fire_l = l_valid_c2 & ((bm - l_pos_c2) > (w2 / 2.0))
+    l_pos_new = jnp.where(in_case1l, l_pos_c1, jnp.where(fire_l, -1, l_pos_c2))
+    l_val_new = jnp.where(in_case1l, l_val_c1, jnp.where(fire_l, t2, l_val_c2))
+    l_valid_new = jnp.where(in_case1l, l_valid, jnp.where(fire_l, False, l_valid_c2))
+    fire_l = fire_l & ~in_case1l & run_l
+    l_pos = jnp.where(run_l, l_pos_new, l_pos)
+    l_val = jnp.where(run_l, l_val_new, l_val)
+    l_valid = jnp.where(run_l, l_valid_new, l_valid)
+
+    fired = fire_s | fire_l
+    return (
+        (s_pos_new, s_val_new, s_valid_new, l_pos, l_val, l_valid, l_masked),
+        fired,
+    )
+
+
+def _peak_init(shape):
+    """Default detector state (DEF_PEAK_POS=-1, DEF_PEAK_VAL=FLT_MAX,
+    masked_to=0) for any state shape."""
+    return (
+        jnp.full(shape, -1, jnp.int32), jnp.full(shape, FLT_MAX),
+        jnp.zeros(shape, bool),
+        jnp.full(shape, -1, jnp.int32), jnp.full(shape, FLT_MAX),
+        jnp.zeros(shape, bool),
+        jnp.zeros(shape, jnp.int32),
+    )
+
+
 @partial(jax.jit, static_argnames=("w1", "w2"))
 def peak_scan_device(
     tstat1: jnp.ndarray,  # [B, S]
@@ -107,78 +184,116 @@ def peak_scan_device(
     reads). Returns a bool [B, S] 'fired' mask: sample i fires => event end
     at stream coordinate ``(i + 1 - w2) - w1 + 1``."""
     B, S = tstat1.shape
-    neg = jnp.full((B,), FLT_MAX)
 
     def body(carry, ts):
-        (s_pos, s_val, s_valid, l_pos, l_val, l_valid, l_masked) = carry
-        t1, t2, bm = ts  # bm = buf_mid as signed int32 (parity domain: >= -(w2-1))
-
-        # --- short detector (skipped when bm == 0: masked_to 0 >= 0) ---
-        run_s = bm != 0
-        in_case1 = s_pos == -1
-        # case 1
-        lower = t1 < s_val
-        rise = (t1 - s_val) > peak_height
-        s_val_c1 = jnp.where(lower, t1, jnp.where(rise, t1, s_val))
-        s_pos_c1 = jnp.where(rise & ~lower, bm, s_pos)
-        # case 2
-        upd = t1 > s_val
-        s_val_c2 = jnp.where(upd, t1, s_val)
-        s_pos_c2 = jnp.where(upd, bm, s_pos)
-        mask_long = s_val_c2 > threshold1
-        s_valid_c2 = s_valid | ((s_val_c2 - t1 > peak_height) & (s_val_c2 > threshold1))
-        fire_s = s_valid_c2 & ((bm - s_pos_c2) > (w1 / 2.0))
-        s_pos_new = jnp.where(in_case1, s_pos_c1, jnp.where(fire_s, -1, s_pos_c2))
-        s_val_new = jnp.where(in_case1, s_val_c1, jnp.where(fire_s, t1, s_val_c2))
-        s_valid_new = jnp.where(in_case1, s_valid, jnp.where(fire_s, False, s_valid_c2))
-        fire_s = fire_s & ~in_case1 & run_s
-        s_pos_new = jnp.where(run_s, s_pos_new, s_pos)
-        s_val_new = jnp.where(run_s, s_val_new, s_val)
-        s_valid_new = jnp.where(run_s, s_valid_new, s_valid)
-        do_mask = run_s & ~in_case1 & mask_long
-
-        # long detector reset by short masking
-        l_masked = jnp.where(do_mask, (s_pos_c2 + w1).astype(l_masked.dtype), l_masked)
-        l_pos = jnp.where(do_mask, -1, l_pos)
-        l_val = jnp.where(do_mask, neg, l_val)
-        l_valid = jnp.where(do_mask, False, l_valid)
-
-        # --- long detector ---
-        run_l = l_masked < bm
-        in_case1l = l_pos == -1
-        lowerl = t2 < l_val
-        risel = (t2 - l_val) > peak_height
-        l_val_c1 = jnp.where(lowerl, t2, jnp.where(risel, t2, l_val))
-        l_pos_c1 = jnp.where(risel & ~lowerl, bm, l_pos)
-        updl = t2 > l_val
-        l_val_c2 = jnp.where(updl, t2, l_val)
-        l_pos_c2 = jnp.where(updl, bm, l_pos)
-        l_valid_c2 = l_valid | ((l_val_c2 - t2 > peak_height) & (l_val_c2 > threshold2))
-        fire_l = l_valid_c2 & ((bm - l_pos_c2) > (w2 / 2.0))
-        l_pos_new = jnp.where(in_case1l, l_pos_c1, jnp.where(fire_l, -1, l_pos_c2))
-        l_val_new = jnp.where(in_case1l, l_val_c1, jnp.where(fire_l, t2, l_val_c2))
-        l_valid_new = jnp.where(in_case1l, l_valid, jnp.where(fire_l, False, l_valid_c2))
-        fire_l = fire_l & ~in_case1l & run_l
-        l_pos = jnp.where(run_l, l_pos_new, l_pos)
-        l_val = jnp.where(run_l, l_val_new, l_val)
-        l_valid = jnp.where(run_l, l_valid_new, l_valid)
-
-        fired = fire_s | fire_l
-        return (
-            (s_pos_new, s_val_new, s_valid_new, l_pos, l_val, l_valid, l_masked),
-            fired,
-        )
+        return _peak_step(carry, ts, w1, w2, threshold1, threshold2,
+                          peak_height)
 
     i = jnp.arange(S, dtype=jnp.int32)
     bm_seq = i + 1 - w2  # signed; parity domain guarantees no u32 weirdness
-    init = (
-        jnp.full((B,), -1, jnp.int32), neg, jnp.zeros((B,), bool),
-        jnp.full((B,), -1, jnp.int32), neg, jnp.zeros((B,), bool),
-        jnp.zeros((B,), jnp.int32),
+    ts = (
+        tstat1.T, tstat2.T,
+        jnp.broadcast_to(bm_seq[:, None], (S, B)),
+        jnp.ones((S, B), bool),
     )
-    ts = (tstat1.T, tstat2.T, jnp.broadcast_to(bm_seq[:, None], (S, B)))
-    _, fired = jax.lax.scan(body, init, ts)
+    _, fired = jax.lax.scan(body, _peak_init((B,)), ts)
     return fired.T  # [B, S]
+
+
+@partial(jax.jit, static_argnames=("w1", "w2", "block", "warmup"))
+def peak_scan_device_blocked(
+    tstat1: jnp.ndarray,  # [B, S]
+    tstat2: jnp.ndarray,
+    w1: int,
+    w2: int,
+    threshold1: float = 1.4,
+    threshold2: float = 9.0,
+    peak_height: float = 0.2,
+    n_valid=None,
+    block: int = 512,
+    warmup: int = 256,
+):
+    """Block-parallel speculative execution of the peak state machine, with
+    on-device exactness verification. Returns (fired [B, S] bool, ok bool).
+
+    The sequential scan in :func:`peak_scan_device` costs one scan step per
+    raw sample (~160k latency-bound steps per read) — the round-3 sigdev
+    wire's 58x dispatch slowdown. This variant cuts the sequential length to
+    ``warmup + block`` steps by splitting the read into C = ceil(S / block)
+    blocks processed in PARALLEL (the detector state vectorizes over blocks
+    on the VPU), exploiting the machine's fast forgetting: each fire resets
+    the firing detector to (pos=-1, val=t_i, valid=False) — a function of
+    the current sample only — and events fire every ~10 samples, so two
+    state trajectories over the same samples coalesce almost immediately
+    regardless of their starting states.
+
+    Scheme (speculative + verified, NOT approximate):
+    - every block first processes the ``warmup`` samples preceding it from
+      the DEFAULT detector state (block 0 dead-steps its warm-up and starts
+      from the true initial state);
+    - the main pass then emits fires for the block's own samples;
+    - verification: block c's post-warm-up state must equal block c-1's
+      final state — both are states attributed to the same sample index, so
+      if they are equal (bitwise, all 7 components) for every block whose
+      samples matter (< n_valid), induction from block 0 proves every
+      emitted fire bit-identical to the sequential scan.
+    Callers fall back to :func:`peak_scan_device` when ``ok`` is False
+    (never observed on real pore signal with warmup >= 128; guaranteed to
+    be detected when it happens).
+    """
+    B, S = tstat1.shape
+    L, W = block, warmup
+    assert W <= L, "warmup must not exceed block"
+    C = -(-S // L)
+    P = C * L
+    pad = P - S
+
+    def prep(t):
+        # block c's warm-up samples [cL-W, cL) are the tail W columns of
+        # block c-1's main region: a reshape + shifted-concat, no gather
+        main = jnp.pad(t, ((0, 0), (0, pad))).reshape(B, C, L)
+        warm = jnp.concatenate(
+            [jnp.zeros((B, 1, W), t.dtype), main[:, :-1, L - W:]], axis=1)
+        return jnp.concatenate([warm, main], axis=2)  # [B, C, W + L]
+
+    t1b = prep(tstat1)
+    t2b = prep(tstat2)
+    # absolute sample index per (block, step): cL - W + j
+    samp = (jnp.arange(C) * L)[:, None] + (jnp.arange(W + L)[None, :] - W)
+    bm = (samp + 1 - w2).astype(jnp.int32)
+    active = samp >= 0  # block 0's warm-up region is before the read
+
+    def body(carry, ts):
+        return _peak_step(carry, ts, w1, w2, threshold1, threshold2,
+                          peak_height)
+
+    # scan axes: [W + L, B, C]
+    def tx(x):
+        return jnp.moveaxis(x, -1, 0)
+
+    ts_warm = (
+        tx(t1b[:, :, :W]), tx(t2b[:, :, :W]),
+        jnp.broadcast_to(bm[None, :, :W], (B, C, W)).transpose(2, 0, 1),
+        jnp.broadcast_to(active[None, :, :W], (B, C, W)).transpose(2, 0, 1),
+    )
+    warm_end, _ = jax.lax.scan(body, _peak_init((B, C)), ts_warm)
+
+    ts_main = (
+        tx(t1b[:, :, W:]), tx(t2b[:, :, W:]),
+        jnp.broadcast_to(bm[None, :, W:], (B, C, L)).transpose(2, 0, 1),
+        jnp.broadcast_to(active[None, :, W:], (B, C, L)).transpose(2, 0, 1),
+    )
+    final, fired = jax.lax.scan(body, warm_end, ts_main)
+    fired = jnp.moveaxis(fired, 0, -1).reshape(B, P)[:, :S]  # [B, S]
+
+    # --- exactness check: warm_end[c] must equal final[c-1] ---
+    S_eff = S if n_valid is None else n_valid
+    need = (jnp.arange(C) * L < S_eff)[None, :]  # blocks whose fires matter
+    ok = jnp.array(True)
+    for we, fi in zip(warm_end, final):
+        m = we[:, 1:] == fi[:, :-1]
+        ok &= jnp.all(m | ~need[:, 1:])
+    return fired, ok
 
 
 def detect_boundaries_device(
@@ -189,6 +304,7 @@ def detect_boundaries_device(
     threshold2: float = 9.0,
     peak_height: float = 0.2,
     n_valid=None,
+    block: int | None = None,
 ) -> jnp.ndarray:
     """Full on-device pass: returns bool [B, S] mask of event-end firings.
 
@@ -196,7 +312,13 @@ def detect_boundaries_device(
     sample i. Only window configs with ``w2 <= 2*w1`` are in the exact-parity
     domain. ``n_valid`` (traced) gives the true read length when ``raw`` is
     zero-padded to a static bucket — firings are then bit-identical to the
-    exact-length run (samples >= n_valid never fire)."""
+    exact-length run (samples >= n_valid never fire).
+
+    ``block`` enables the block-parallel scan (see
+    :func:`peak_scan_device_blocked`): ~block/(block+warmup) x fewer
+    sequential steps, still bit-exact — the rare coupling failure is
+    detected on device and falls back to the sequential scan via
+    ``lax.cond`` inside the same program."""
     if w2 > 2 * w1:
         raise ValueError(
             "on-device event detection supports w2 <= 2*w1 (exact-parity "
@@ -204,7 +326,20 @@ def detect_boundaries_device(
         )
     t1 = compute_tstats_device(raw, w1, w2, n_valid)
     t2 = compute_tstats_device(raw, w2, w2, n_valid)
-    fired = peak_scan_device(t1, t2, w1, w2, threshold1, threshold2, peak_height)
+    if block is not None:
+        fired_b, ok = peak_scan_device_blocked(
+            t1, t2, w1, w2, threshold1, threshold2, peak_height,
+            n_valid=n_valid, block=block,
+        )
+        fired = jax.lax.cond(
+            ok,
+            lambda: fired_b,
+            lambda: peak_scan_device(t1, t2, w1, w2, threshold1, threshold2,
+                                     peak_height),
+        )
+    else:
+        fired = peak_scan_device(t1, t2, w1, w2, threshold1, threshold2,
+                                 peak_height)
     if n_valid is not None:
         fired = fired & (jnp.arange(raw.shape[1])[None, :] < n_valid)
     return fired

