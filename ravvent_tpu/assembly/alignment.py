@@ -184,6 +184,60 @@ def local_align(
     return AlignmentResult(a1, a2, score, begin, end)
 
 
+def sw_local_identity(
+    query: str,
+    ref: str,
+    match: float = 1.0,
+    mismatch: float = -1.0,
+    gap_open: float = -2.0,
+    gap_extend: float = -0.5,
+    use_native: bool = True,
+) -> Optional[Tuple[int, int, int, int, int, int, float]]:
+    """Exact (full, unbanded) Smith-Waterman-Gotoh local identity: returns
+    (matches, block_len, q_start, q_end, t_start, t_end, score) of the best
+    local alignment, or None when no positive-scoring alignment exists.
+
+    This is the exact-DP referee the seed-chain mapper is validated against
+    (and its rescue stage below the seed cliff): the full DP has no seeds,
+    no chaining heuristics and no band, so its (matches, block_len) is the
+    ground-truth local identity for the score set. Columns outside the
+    local block are soft-clipped, matching minimap2 map-ont accounting
+    (reference metric semantics: ravvent_mapping_evaluator.py:85-108).
+
+    Uses the native SW kernel (ravvent_tpu.ops.native.local_align — O(n*m)
+    time/traceback memory, ~1e9 cells/s) when available, else the pure-
+    python aligner (small inputs only; native<->python parity is enforced by
+    tests/test_merger.py's aligner parity suite)."""
+    n, m = len(query), len(ref)
+    if n == 0 or m == 0:
+        return None
+    res = None
+    if use_native:
+        try:
+            from ravvent_tpu.ops import native
+
+            if native.available():
+                res = native.local_align(
+                    query, ref, match, mismatch, gap_open, gap_extend)
+                if res is None:
+                    return None
+        except Exception:
+            res = None
+    if res is None:
+        res = local_align(query, ref, match, mismatch, gap_open, gap_extend)
+        if res is None:
+            return None
+    core1 = res.seq1_gapped[res.begin:res.end]
+    core2 = res.seq2_gapped[res.begin:res.end]
+    matches = sum(a == b for a, b in zip(core1, core2))
+    cols = res.end - res.begin
+    q_start = len(res.seq1_gapped[:res.begin].replace("-", ""))
+    t_start = len(res.seq2_gapped[:res.begin].replace("-", ""))
+    q_end = q_start + len(core1.replace("-", ""))
+    t_end = t_start + len(core2.replace("-", ""))
+    return matches, cols, q_start, q_end, t_start, t_end, float(res.score)
+
+
 def banded_global_identity(
     query: str,
     ref: str,

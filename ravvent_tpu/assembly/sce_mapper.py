@@ -241,6 +241,59 @@ def map_read_native(query: str, ref: str, **kw) -> Optional[List[Chain]]:
     return [Chain(*r) for r in rows]
 
 
+# rescue stage (below the seed cliff): windowed exact Smith-Waterman.
+# k=15 seeding collapses below ~65% read accuracy (match probability per
+# seed ~ a^15), so struggling reads returned NO mapping (identity 0) instead
+# of a graded number — conflating mapper recall with model quality. Windows
+# of the query are aligned against the full reference section with the
+# exact local DP (no seeds, no band); windows whose best local alignment
+# clears the gates are emitted as chains, garbage windows soft-clip away.
+RESCUE_WINDOW = 2000
+RESCUE_MIN_SCORE = 45.0
+RESCUE_MIN_COLS = 50
+# chance-alignment rejection: gapped local alignment of RANDOM sequences
+# reaches ~0.53 identity under this score set (cheap gap extends), but its
+# score saturates at Karlin-Altschul O(log) scale — measured <= 0.06
+# score/column vs >= 0.14 for genuinely related reads down to 50% true
+# identity. The density gate keeps the 'invalid read' outcome meaningful.
+RESCUE_MIN_SCORE_PER_COL = 0.08
+
+
+def rescue_map(query: str, ref: str, window: int = RESCUE_WINDOW) -> List[Chain]:
+    """Seed-free mapping for reads below the seed-chain cliff: split the
+    query into ~``window``-base pieces and take each piece's best exact
+    local alignment (Smith-Waterman-Gotoh, native kernel) against the whole
+    reference. Returns PAF-style chains (may be empty).
+
+    Validated against the exact-DP oracle on synthetic reads mutated to
+    50-90% identity (tests/test_mapper_decliff.py): no 0-maps at >= 50%
+    true identity, identity within ~3pt of the full-read oracle."""
+    from ravvent_tpu.assembly.alignment import sw_local_identity
+
+    n = len(query)
+    if n == 0 or len(ref) == 0:
+        return []
+    # DP memory guard: the exact kernel's traceback is window * |ref| bytes;
+    # shrink windows against very long references to stay under ~250MB
+    window = max(256, min(window, int(2.5e8 / len(ref))))
+    # balanced windows: ceil(n/window) pieces of near-equal size (avoids a
+    # tiny tail window that cannot clear the score gate)
+    n_win = max(1, -(-n // window))
+    bounds = [round(i * n / n_win) for i in range(n_win + 1)]
+    chains: List[Chain] = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        out = sw_local_identity(query[lo:hi], ref, A_MATCH, A_MISMATCH,
+                                A_GAP_OPEN, A_GAP_EXTEND)
+        if out is None:
+            continue
+        matches, cols, qs, qe, ts, te, score = out
+        if (score < RESCUE_MIN_SCORE or cols < RESCUE_MIN_COLS
+                or score < RESCUE_MIN_SCORE_PER_COL * cols):
+            continue
+        chains.append(Chain(matches, cols, lo + qs, lo + qe, ts, te))
+    return chains
+
+
 _RC = str.maketrans("ACGTacgt", "TGCAtgca")
 
 
@@ -276,6 +329,16 @@ def map_identity(pred_seq: str, ref_seq: str, **kw) -> Dict:
         return {"read_length": 0, "matches": 0, "total_block_len": 0,
                 "identity": 0.0, "mapper": "sce"}
     chains, strand = map_read(pred_seq, ref_seq, **kw)
+    stage = "chain"
+    if sum(c.block_len for c in chains) == 0:
+        # below the seed cliff: seed-free exact-DP rescue on both strands
+        fwd = rescue_map(pred_seq, ref_seq)
+        rev = rescue_map(revcomp(pred_seq), ref_seq)
+        if sum(c.matches for c in rev) > sum(c.matches for c in fwd):
+            chains, strand = rev, "-"
+        else:
+            chains, strand = fwd, "+"
+        stage = "rescue"
     matches = sum(c.matches for c in chains)
     block = sum(c.block_len for c in chains)
     if block == 0:
@@ -289,4 +352,5 @@ def map_identity(pred_seq: str, ref_seq: str, **kw) -> Dict:
         "mapper": "sce",
         "strand": strand,
         "n_chains": len(chains),
+        "stage": stage,
     }
