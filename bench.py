@@ -273,6 +273,13 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         details["identity_total_sigdev"] = ts
         details["identity_valid_sigdev"] = vs
         details["invalid_pct_sigdev"] = inv
+        # embed the per-read mapping records so the committed
+        # BENCH_DETAILS.json is a self-contained, auditable evidence
+        # snapshot (the .bench_data working files are gitignored)
+        details["map_results"] = json.loads(
+            (BENCH_DATA / "map_results.json").read_text())
+        details["map_results_sigdev"] = json.loads(
+            (BENCH_DATA / "map_results.sigdev.json").read_text())
 
     return details
 
