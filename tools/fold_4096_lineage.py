@@ -22,17 +22,37 @@ from pathlib import Path
 EXTENSIONS = [("ref4096d", "joint"), ("ref4096draw", "raw")]
 
 
+def _stamp(cell, src_tag: str):
+    """Provenance: folded cells carry the tag of the checkpoint that
+    actually produced them (ADVICE round 3 — the folded file must not imply
+    a single-checkpoint lineage)."""
+    if isinstance(cell, dict):
+        cell = dict(cell)
+        cell["source_tag"] = src_tag
+    return cell
+
+
 def fold_aggregate(rdir: Path, src_tag: str, dst_tag: str, mod: str) -> None:
     for beam in (5, 1):
         src = rdir / f"accuracy_results_all.{src_tag}.beam{beam}.json"
         dst = rdir / f"accuracy_results_all.{dst_tag}.beam{beam}.json"
         if not src.exists():
             continue
+        if not dst.exists():
+            raise SystemExit(
+                f"refusing to fold {src.name}: destination {dst.name} does "
+                "not exist — folding would synthesize a partial cell set "
+                "that downstream reports read as complete")
         sdata = json.loads(src.read_text())
-        ddata = json.loads(dst.read_text()) if dst.exists() else {}
+        ddata = json.loads(dst.read_text())
         for dk, cells in sdata.items():
+            if dk.startswith("_"):
+                continue
             if mod in cells:
-                ddata.setdefault(dk, {})[mod] = cells[mod]
+                ddata.setdefault(dk, {})[mod] = _stamp(cells[mod], src_tag)
+                # identity triples are lists — provenance rides a reserved
+                # top-level key (readers skip "_"-prefixed keys)
+                ddata.setdefault("_provenance", {}).setdefault(dk, {})[mod] = src_tag
                 print(f"beam{beam} {dk} {mod}: <- {src_tag} {cells[mod]}")
         dst.write_text(json.dumps(ddata, indent=2))
 
@@ -42,11 +62,15 @@ def fold_token(rdir: Path, src_tag: str, dst_tag: str, mod: str) -> None:
     dst = rdir / f"token_acc.{dst_tag}.json"
     if not src.exists():
         return
+    if not dst.exists():
+        raise SystemExit(
+            f"refusing to fold {src.name}: destination {dst.name} missing "
+            "(see fold_aggregate)")
     sdata = json.loads(src.read_text())
-    ddata = json.loads(dst.read_text()) if dst.exists() else {}
+    ddata = json.loads(dst.read_text())
     for dk, cells in sdata.items():
         if mod in cells:
-            ddata.setdefault(dk, {})[mod] = cells[mod]
+            ddata.setdefault(dk, {})[mod] = _stamp(cells[mod], src_tag)
             print(f"token {dk} {mod}: <- {src_tag}")
     dst.write_text(json.dumps(ddata, indent=2))
 

@@ -36,16 +36,20 @@ def main():
     rows = []
     for rnn in ["gru", "lstm", "bigru", "bilstm"]:
         tok = idn = None
+        tok_metric = None  # which metric actually filled the cell
         t = rdir / f"token_acc.abl_{rnn}.json"
         if t.exists():
             cells = next(iter(json.loads(t.read_text()).values()))
             d = cells.get("raw", {})
-            tok = d.get("teacher_forced", d.get("strict"))
+            if "teacher_forced" in d:
+                tok, tok_metric = d["teacher_forced"], "teacher_forced"
+            elif "strict" in d:
+                tok, tok_metric = d["strict"], "strict"
         f = rdir / f"accuracy_results_all.abl_{rnn}.beam5.json"
         if f.exists():
             cells = next(iter(json.loads(f.read_text()).values()))
             idn = cells.get("raw", [None])[0]
-        rows.append((rnn, tok, idn))
+        rows.append((rnn, tok, idn, tok_metric))
     have = [r for r in rows if r[1] is not None]
     if not have:
         print("no ablation results yet", file=sys.stderr)
@@ -70,10 +74,20 @@ def main():
           "",
           "| rnn | token acc (teacher-forced) | identity b5 | reference acc |",
           "|---|---|---|---|"]
-    for rnn, tok, idn in rows:
-        md.append(f"| {rnn} | {tok:.3f}" if tok is not None else f"| {rnn} | —")
+    strict_fallback = []
+    for rnn, tok, idn, tok_metric in rows:
+        cell = f"{tok:.3f}" if tok is not None else "—"
+        if tok_metric == "strict":
+            cell += "†"
+            strict_fallback.append(rnn)
+        md.append(f"| {rnn} | {cell}")
         md[-1] += f" | {idn:.1f} |" if idn is not None else " | — |"
         md[-1] += f" {REFERENCE_ABLATION[rnn]:.3f} |"
+    if strict_fallback:
+        md += ["",
+               "† teacher-forced accuracy missing for this cell; the "
+               "value shown is the STRICT (free-running exact-position) "
+               "metric — harsher, not comparable to the other rows."]
     if any(r[1] is None for r in rows):
         missing = [r[0] for r in rows if r[1] is None]
         md += ["",

@@ -71,7 +71,9 @@ def load_identity(results_dir: Path, tags: dict, beam: int,
         p = results_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
         if not p.exists():
             continue
-        for cells in json.loads(p.read_text()).values():
+        for dk, cells in json.loads(p.read_text()).items():
+            if dk.startswith("_"):  # reserved (e.g. _provenance)
+                continue
             for mod, triple in cells.items():
                 if mod in out:
                     out[mod][v] = triple
@@ -85,7 +87,9 @@ def load_token_acc(results_dir: Path, tags: dict):
         p = results_dir / f"token_acc.{tags[v]}.json"
         if not p.exists():
             continue
-        for cells in json.loads(p.read_text()).values():
+        for dk, cells in json.loads(p.read_text()).items():
+            if dk.startswith("_"):
+                continue
             for mod, d in cells.items():
                 if mod in out:
                     out[mod][v] = d
@@ -146,23 +150,62 @@ def tf_stage_peaks(results_dir: Path) -> str:
     # are tf-metric measurements of the same lineage
     probes += list(results_dir.glob("token_acc.ref4096tf*.json"))
     for f in probes:
-        m = re.match(r"token_acc\.ref4096c_tfprobe([a-z]*)\d+\.json", f.name)
-        mod = m.group(1) if m else ""
-        if not m:
-            m2 = re.match(r"token_acc\.ref4096tf_?([a-z]*)\.json", f.name)
-            mod = m2.group(1) if m2 else ""
-        mod = mod or "joint"
+        # keyed by the INNER cell modality (a multi-modality token file must
+        # credit each modality to itself, not to the filename's)
         for cells in json.loads(f.read_text()).values():
             for mm, d in cells.items():
                 v = d.get("teacher_forced")
                 if v is not None:
-                    best[mod] = max(best.get(mod, 0.0), v)
+                    best[mm] = max(best.get(mm, 0.0), v)
     if not best:
         return ""
     parts = ", ".join(f"{m} **{v:.3f}**" for m, v in sorted(best.items()))
     return ("4096 tf-stage peaks (held-out test, end of the teacher-forced "
             f"stages): {parts} — vs the reference's raw 0.789 / event 0.629 "
-            "/ joint 0.782.")
+            "/ joint 0.782. Budget note: the ref4096tf* points come from "
+            "checkpoints given ~25 additional fully-teacher-forced epochs "
+            "beyond the standard curriculum specifically to maximize this "
+            "metric (tools/run_r3_queue5.sh); the reference's curve models "
+            "trained 100 epochs at tf=1.0 throughout, so the comparison is "
+            "tf-metric-vs-tf-metric but budgets differ on both sides.")
+
+
+def provenance_notes(results_dir: Path, tags: dict) -> str:
+    """Per-cell checkpoint provenance: folded cells (tools/fold_4096_lineage)
+    carry a source_tag — disclose any row whose modalities come from
+    different checkpoints of the lineage (ADVICE round 3)."""
+    notes = []
+    for v in VOCABS:
+        tag = tags[v]
+        mix = {}
+        for fname in (f"accuracy_results_all.{tag}.beam5.json",
+                      f"token_acc.{tag}.json"):
+            p = results_dir / fname
+            if not p.exists():
+                continue
+            data = json.loads(p.read_text())
+            for dk, cells in data.get("_provenance", {}).items():
+                mix.update(cells)
+            for dk, cells in data.items():
+                if dk.startswith("_"):
+                    continue
+                for mod, d in cells.items():
+                    if isinstance(d, dict) and "source_tag" in d:
+                        mix[mod] = d["source_tag"]
+        if mix:
+            parts = ", ".join(f"{m} <- `{t}`" for m, t in sorted(mix.items()))
+            rest = [m for m in MODS if m not in mix]
+            if rest:
+                parts += f"; {', '.join(rest)} <- `{tag}`"
+            notes.append(
+                f"- {v} row (`{tag}` files) mixes checkpoints of the same "
+                f"warm-start chain: {parts} (extended-anneal exports folded "
+                "by tools/fold_4096_lineage.py; originals retained under "
+                "their own tags).")
+    if not notes:
+        return ""
+    return "Cell provenance (rows whose modalities come from different " \
+           "checkpoints):\n\n" + "\n".join(notes)
 
 
 def main():
@@ -276,8 +319,10 @@ def main():
           "",
           identity_table(id1, {m: {} for m in MODS}),
           "",
-          "Result-file tag used per vocab (one model generation per row): "
+          "Result-file tag used per vocab (one tag's files per row): "
           + ", ".join(f"{v}: `{t}`" for v, t in tags.items()) + ".",
+          "",
+          provenance_notes(rdir, tags),
           "",
           "Full triples (total, valid-only, invalid%) per cell are in",
           f"`{args.results_dir}/accuracy_results_all.ref*.beam*.json`",
