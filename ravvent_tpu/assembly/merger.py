@@ -205,6 +205,61 @@ class Merger:
             expected_offset=exp_off, offset_weight=w,
         )
 
+    def select_beams_by_overlap(
+        self,
+        beam_seqs: List[List[str]],
+        beam_logprob: np.ndarray,  # [N, K] total model log-prob per beam
+        expected_overlaps=None,
+        model_weight: float = 0.05,
+    ) -> np.ndarray:
+        """Phase-aware beam selection for periodic genomes: Viterbi over
+        (snippet, beam) where the transition score is the overlap-alignment
+        score between the previous beam's tail and the next beam's head
+        (same score set + positional prior as the merge fold itself).
+
+        Motivation (round-3 residual on the 45-6-mer set): each snippet's
+        free-running beam decode can lock onto the WRONG PHASE of a periodic
+        sequence — per-snippet token accuracy stays ~0.99 but the merged
+        read silently gains/loses periods at junctions, and no alignment
+        prior can repair a junction whose two sides genuinely disagree. The
+        correctly-phased variant is almost always among the top few beams;
+        choosing the chain of beams that maximizes junction agreement
+        (agreement scored exactly like the merge alignment, model log-prob
+        as a weak tie-break so unambiguous genomes keep the top beam)
+        re-anchors each snippet's phase on its predecessor. Returns the
+        [N] chosen beam index per snippet.
+        """
+        N = len(beam_seqs)
+        if N == 0:
+            return np.zeros(0, int)
+        K = len(beam_seqs[0])
+        L = self.overlap_seq_len
+        ptr = np.zeros((N, K), int)
+        prev = model_weight * np.asarray(beam_logprob[0], float)
+        for i in range(1, N):
+            eo = (float(expected_overlaps[i - 1])
+                  if expected_overlaps is not None else None)
+            agree = np.zeros((K, K))
+            for b in range(K):
+                tail = beam_seqs[i - 1][b][-L:]
+                if not tail:
+                    continue
+                for b2 in range(K):
+                    head = beam_seqs[i][b2][:L]
+                    if not head:
+                        continue
+                    res = self._align(tail, head, eo)
+                    agree[b, b2] = res.score if res is not None else 0.0
+            tot = prev[:, None] + agree
+            ptr[i] = np.argmax(tot, axis=0)
+            prev = (tot[ptr[i], np.arange(K)]
+                    + model_weight * np.asarray(beam_logprob[i], float))
+        sel = np.zeros(N, int)
+        sel[-1] = int(np.argmax(prev))
+        for i in range(N - 1, 0, -1):
+            sel[i - 1] = ptr[i][sel[i]]
+        return sel
+
     def merge_flat(
         self, blob: bytes, offsets: np.ndarray, flat_logits: np.ndarray,
         expected_overlaps=None,

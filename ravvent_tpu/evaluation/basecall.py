@@ -36,6 +36,7 @@ class PendingBeamCompact(NamedTuple):
 
     pending: list  # [(device array or (tokens, probs) pair, n_rows), ...]
     T_fetch: int
+    n_beams: int = 1  # beams per row on the wire (tokens/probs width = n_beams * T_fetch)
 
 
 def _device_event_features(sig, lens, n_ev, hdr1, ovr):
@@ -257,6 +258,7 @@ class BasecallEngine:
         transport_dtype: str = "f16",
         prob_bits: int = 8,
         mesh=None,
+        n_beams: int = 1,
     ) -> None:
         """``memory_dtype=jnp.bfloat16`` stores the attention memory
         (keys/values) in bf16 — halves the decode loop's dominant HBM traffic
@@ -344,6 +346,12 @@ class BasecallEngine:
         # another ~third off the result fetch.
         assert prob_bits in (8, 4)
         self.prob_bits = prob_bits
+        # n_beams > 1 fetches the top-K beams per snippet (tokens + per-step
+        # probs), for the merge fold's phase-aware beam selection on
+        # periodic genomes (assembly.merger.select_beams_by_overlap). K=1
+        # keeps the round-3 wire formats and shapes bit-identical.
+        assert n_beams >= 1
+        self.n_beams = n_beams
 
         mcfg = cfg
 
@@ -387,10 +395,20 @@ class BasecallEngine:
                     self.total_steps, max_steps, mcfg.effective_attention,
                     mcfg.cell_type,
                 )
-            top_tokens = res.tokens[:, :, 0]
-            top_scores = res.scores[:, :, 0]
-            probs = beam_scores_to_step_probs(top_scores)
-            return top_tokens, probs
+            K = min(self.n_beams, beam_width)
+            if K == 1:
+                top_tokens = res.tokens[:, :, 0]
+                top_scores = res.scores[:, :, 0]
+                probs = beam_scores_to_step_probs(top_scores)
+                return top_tokens, probs
+            # top-K beams: [B, K, T] (beam-major so downstream per-beam
+            # trimming/packing treats the last axis uniformly)
+            toks = jnp.moveaxis(res.tokens[:, :, :K], 2, 1)
+            scores = jnp.moveaxis(res.scores[:, :, :K], 2, 1)
+            B = scores.shape[0]
+            probs = beam_scores_to_step_probs(
+                scores.reshape(B * K, -1)).reshape(scores.shape)
+            return toks, probs
 
         def _greedy(params, raw, event, max_steps):
             enc_out, mask = encode_input(params, _cast(raw), _cast(event), mcfg)
@@ -449,12 +467,15 @@ class BasecallEngine:
                 (event_ranges[:, 1] - event_ranges[:, 0]) * 5, 150,
             ).reshape(-1, 30, 5)
             tokens, probs = _beam(params, raw, event, max_steps, beam_width)
-            if T_out is not None and T_out < tokens.shape[1]:
+            if T_out is not None and T_out < tokens.shape[-1]:
                 # max_output_len is host-known; everything past it is
                 # end-token fill — don't fetch it (T_out is bucketed to
                 # multiples of 8 to bound recompilation)
-                tokens = tokens[:, :T_out]
-                probs = probs[:, :T_out]
+                tokens = tokens[..., :T_out]
+                probs = probs[..., :T_out]
+            if tokens.ndim == 3:  # n_beams > 1: flatten beams for the wire
+                tokens = tokens.reshape(tokens.shape[0], -1)
+                probs = probs.reshape(probs.shape[0], -1)
             # Pack tokens and probs into ONE uint8 buffer so the host fetches
             # a single array per slab: each device->host transfer pays ~30ms
             # of link latency in this environment, so one fetch per read
@@ -766,7 +787,7 @@ class BasecallEngine:
             )
         N = raw_ranges.shape[0]
         if N == 0:
-            return PendingBeamCompact([], self.total_steps)
+            return PendingBeamCompact([], self.total_steps, 1)
         # Ranges may extend past the arrays (stream-coordinate quirk); python
         # slicing in the materialized path clips silently — replicate that.
         raw_ranges = np.minimum(raw_ranges, signal.shape[0])
@@ -925,36 +946,45 @@ class BasecallEngine:
             # (async copy: overlap this slab's fetch with the next's work)
             packed.copy_to_host_async()
             pending.append((packed, n))
-        return PendingBeamCompact(pending, T_fetch)
+        return PendingBeamCompact(pending, T_fetch,
+                                  min(self.n_beams, beam_width))
 
     def collect_beam_compact(
         self, handle: "PendingBeamCompact"
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Materialize a :meth:`dispatch_beam_compact` handle: blocks on the
-        device→host copies and unpacks the wire bytes."""
-        pending, T = handle.pending, handle.T_fetch
+        device→host copies and unpacks the wire bytes. With ``n_beams > 1``
+        the returned arrays are [N, n_beams, T] (beam 0 = top beam)."""
+        pending, T = handle.pending, handle.n_beams * handle.T_fetch
         if not pending:
-            return np.zeros((0, T), np.int64), np.zeros((0, T), np.float32)
-        toks, prbs = [], []
-        for packed, n in pending:
-            arr = np.asarray(packed)[:n]
-            if self.pack_u8:
-                Tb = (T + 1) // 2
-                tok = np.empty((arr.shape[0], 2 * Tb), np.int64)
-                tok[:, 0::2] = arr[:, :Tb] & 0xF
-                tok[:, 1::2] = arr[:, :Tb] >> 4
-                toks.append(tok[:, :T])
-                if self.prob_bits == 4:
-                    pq = np.empty((arr.shape[0], 2 * Tb), np.float32)
-                    pq[:, 0::2] = arr[:, Tb:] & 0xF
-                    pq[:, 1::2] = arr[:, Tb:] >> 4
-                    prbs.append(pq[:, :T] / 15.0)
+            out_t = np.zeros((0, T), np.int64)
+            out_p = np.zeros((0, T), np.float32)
+        else:
+            toks, prbs = [], []
+            for packed, n in pending:
+                arr = np.asarray(packed)[:n]
+                if self.pack_u8:
+                    Tb = (T + 1) // 2
+                    tok = np.empty((arr.shape[0], 2 * Tb), np.int64)
+                    tok[:, 0::2] = arr[:, :Tb] & 0xF
+                    tok[:, 1::2] = arr[:, :Tb] >> 4
+                    toks.append(tok[:, :T])
+                    if self.prob_bits == 4:
+                        pq = np.empty((arr.shape[0], 2 * Tb), np.float32)
+                        pq[:, 0::2] = arr[:, Tb:] & 0xF
+                        pq[:, 1::2] = arr[:, Tb:] >> 4
+                        prbs.append(pq[:, :T] / 15.0)
+                    else:
+                        prbs.append(arr[:, Tb:].astype(np.float32) / 255.0)
                 else:
-                    prbs.append(arr[:, Tb:].astype(np.float32) / 255.0)
-            else:
-                toks.append(arr[:, :T].copy().view(np.int8).astype(np.int64))
-                prbs.append(arr[:, T:].copy().view(np.float16).astype(np.float32))
-        return np.concatenate(toks), np.concatenate(prbs)
+                    toks.append(arr[:, :T].copy().view(np.int8).astype(np.int64))
+                    prbs.append(arr[:, T:].copy().view(np.float16).astype(np.float32))
+            out_t = np.concatenate(toks)
+            out_p = np.concatenate(prbs)
+        if handle.n_beams > 1:
+            out_t = out_t.reshape(-1, handle.n_beams, handle.T_fetch)
+            out_p = out_p.reshape(-1, handle.n_beams, handle.T_fetch)
+        return out_t, out_p
 
     # -------------------- signal-only wire ("sigdev") --------------------
     def dispatch_beam_signal(
@@ -977,7 +1007,7 @@ class BasecallEngine:
         raw = np.asarray(raw_signal)
         n_s = int(raw.size)
         if n_s == 0:
-            return PendingBeamCompact([], self.total_steps)
+            return PendingBeamCompact([], self.total_steps, 1)
         if max_output_len is None:
             max_output_len = self.total_steps + 1
         # host z-score affine (O(S) streaming; float64 like the host path)
@@ -1002,7 +1032,7 @@ class BasecallEngine:
         if n_true > E_b:  # segmentation buffer overflow: caller falls back
             return None
         if n_snip == 0:
-            return PendingBeamCompact([], self.total_steps)
+            return PendingBeamCompact([], self.total_steps, 1)
 
         step = 1024
         sizes = sorted(
@@ -1026,7 +1056,8 @@ class BasecallEngine:
             packed.copy_to_host_async()
             pending.append((packed, min(slab, rem)))
             s += slab
-        return PendingBeamCompact(pending, T_fetch)
+        return PendingBeamCompact(pending, T_fetch,
+                                  min(self.n_beams, beam_width))
 
     def predict_beam_signal(
         self,
@@ -1077,8 +1108,8 @@ class BasecallEngine:
             pending.append((toks, probs, n))
         # same trimmed width as the compact path (the tail is end-token fill)
         T = min(self.total_steps, ((max_output_len + 7) // 8) * 8)
-        toks_out = [np.asarray(t[:n, :T]) for t, _, n in pending]
-        probs_out = [np.asarray(p[:n, :T]) for _, p, n in pending]
+        toks_out = [np.asarray(t[:n, ..., :T]) for t, _, n in pending]
+        probs_out = [np.asarray(p[:n, ..., :T]) for _, p, n in pending]
         return np.concatenate(toks_out), np.concatenate(probs_out)
 
     def predict_greedy(

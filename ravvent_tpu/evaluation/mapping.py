@@ -91,6 +91,11 @@ class MappingEvaluator:
         )
         from ravvent_tpu.tokenizer import NUC_TOKENIZER
 
+        if tokens.ndim == 3:
+            # multi-beam fetch (engine n_beams > 1): phase-aware beam
+            # selection before the fold (periodic-genome decode phase fix;
+            # assembly.merger.select_beams_by_overlap)
+            tokens, probs = self._select_beams(tokens, probs, rr)
         _, blob, offsets = NUC_TOKENIZER.sequences_to_texts_flat(tokens)
         probs = np.asarray(probs, dtype=np.float64)
         counts = np.diff(offsets)
@@ -103,6 +108,28 @@ class MappingEvaluator:
               if rr.shape[0] > 1 else None)
         return self.merger.merge_flat(blob, offsets, probs[prefix],
                                       expected_overlaps=eo)
+
+    def _select_beams(self, tokens, probs, rr):
+        """Pick one beam per snippet by junction overlap agreement (Viterbi;
+        assembly.merger.select_beams_by_overlap). tokens/probs [N, K, T] ->
+        [N, T]."""
+        from ravvent_tpu.assembly.merger import expected_overlaps_from_ranges
+        from ravvent_tpu.tokenizer import NUC_TOKENIZER
+
+        N, K, T = tokens.shape
+        flat = tokens.reshape(N * K, T)
+        seqs, _, offs = NUC_TOKENIZER.sequences_to_texts_flat(flat)
+        beam_seqs = [seqs[i * K:(i + 1) * K] for i in range(N)]
+        cnts = np.diff(offs).reshape(N, K)
+        p = np.asarray(probs, np.float64).reshape(N * K, T)
+        step_mask = np.arange(T)[None, :] < np.diff(offs)[:, None]
+        lp = np.where(step_mask, np.log(np.clip(p, 1e-9, 1.0)), 0.0)
+        lp = lp.sum(axis=1).reshape(N, K)
+        eo = (expected_overlaps_from_ranges(rr, cnts[:, 0])
+              if N > 1 else None)
+        sel = self.merger.select_beams_by_overlap(beam_seqs, lp, eo)
+        idx = np.arange(N)
+        return tokens[idx, sel], np.asarray(probs)[idx, sel]
 
     def _basecall_read_sigdev(self, signal_path, label_path):
         """Signal-only wire: the read's raw samples are the ONLY upload; the

@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--tag", default="sim_lambda")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--n-beams", type=int, default=1,
+                    help="fetch the top-K beams per snippet and select by "
+                         "junction overlap agreement before merging (phase "
+                         "fix for periodic genomes; K=1 = reference flow)")
     args = ap.parse_args()
 
     from ravvent_tpu.config import ModelConfig
@@ -77,7 +81,8 @@ def main():
     else:
         print("WARNING: random weights (checkpoint missing)", file=sys.stderr)
 
-    engine = BasecallEngine(params, cfg, chunk_size=1024)
+    engine = BasecallEngine(params, cfg, chunk_size=1024,
+                            n_beams=args.n_beams)
 
     # evaluation plan: (tag, files_info, cache_dir) x beam widths
     plan = []
