@@ -63,6 +63,8 @@ def run_job(job: dict) -> bool:
                "--rnn-type", job.get("rnn", "bilstm"),
                "--beams", job.get("beams", "5,1"),
                "--out-dir", job["out_dir"]]
+        if job.get("n_beams"):
+            cmd += ["--n-beams", str(job["n_beams"])]
         for spec in job["evals"]:
             cmd += ["--eval", spec]
     if BACKEND == "cpu":
