@@ -330,15 +330,26 @@ def map_identity(pred_seq: str, ref_seq: str, **kw) -> Dict:
                 "identity": 0.0, "mapper": "sce"}
     chains, strand = map_read(pred_seq, ref_seq, **kw)
     stage = "chain"
-    if sum(c.block_len for c in chains) == 0:
-        # below the seed cliff: seed-free exact-DP rescue on both strands
+    # query coverage of the chains (merged intervals): seed starvation on
+    # highly repetitive references (occurrence-capped minimizers all
+    # filtered — e.g. the 45-6-mer genomes, where a 0.98-exact-identity
+    # read chained over only ~25% of its length and graded 0.84) leaves
+    # most of the read unmapped even though chains exist
+    cov, cov_end = 0, 0
+    for qs, qe in sorted((c.q_start, c.q_end) for c in chains):
+        cov += max(0, qe - max(qs, cov_end))
+        cov_end = max(cov_end, qe)
+    if (sum(c.block_len for c in chains) == 0
+            or cov < 0.5 * len(pred_seq)):
+        # seed-free exact-DP rescue on both strands; adopted only when it
+        # finds strictly more matching bases than the seeded chains
         fwd = rescue_map(pred_seq, ref_seq)
         rev = rescue_map(revcomp(pred_seq), ref_seq)
-        if sum(c.matches for c in rev) > sum(c.matches for c in fwd):
-            chains, strand = rev, "-"
-        else:
-            chains, strand = fwd, "+"
-        stage = "rescue"
+        best = rev if (sum(c.matches for c in rev)
+                       > sum(c.matches for c in fwd)) else fwd
+        best_strand = "-" if best is rev else "+"
+        if sum(c.matches for c in best) > sum(c.matches for c in chains):
+            chains, strand, stage = best, best_strand, "rescue"
     matches = sum(c.matches for c in chains)
     block = sum(c.block_len for c in chains)
     if block == 0:

@@ -124,3 +124,18 @@ def test_sw_local_identity_native_matches_python_oracle():
     b = sw_local_identity(pred, ref, use_native=False)
     assert a is not None and b is not None
     assert a[:2] == b[:2], (a, b)
+
+
+def test_coverage_rescue_on_repetitive_reference():
+    """Seed starvation on ultra-repetitive references (occurrence-capped
+    minimizers all filtered — the 45-6-mer genomes): chains cover a
+    fraction of a near-perfect read and the chain identity misgrades it.
+    The coverage-triggered rescue must grade it with the exact DP."""
+    rng = np.random.default_rng(21)
+    ref = ("ACGTGA" * 500)[:2800]
+    pred = mutate(ref, 0.03, rng)
+    res = map_identity(pred, ref)
+    assert res.get("stage") == "rescue", res
+    oracle = _oracle_identity(pred, ref)
+    assert res["identity"] > 0.9
+    assert abs(res["identity"] - oracle) < 0.035, (res["identity"], oracle)

@@ -3,6 +3,7 @@ cross splits), cache corruption tolerance, realism ladder, and the report
 generators."""
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -176,3 +177,31 @@ def test_ablation_report_generator(tmp_path):
     md = out.read_text()
     assert "| gru | 0.800" in md
     assert (rdir / "rnn_ablation.png").exists()
+
+
+def test_queue_lib_add_eval_schema(tmp_path):
+    """tools/queue_lib.sh add_eval emits daemon-schema manifest lines with
+    named flags (the round-3 positional heredoc drifted between queues)."""
+    import json
+    import subprocess
+
+    mani = tmp_path / "m.jsonl"
+    script = (
+        "source tools/queue_lib.sh && "
+        "add_eval --ds datasets/x --tag t1 --mod raw --ckpt ck --out o "
+        "--encd 3 --decd 2 --n-beams 3 --token && "
+        "add_eval --ds datasets/x --tag t2 --mod joint --ckpt ck2 --out o "
+        "--token-only"
+    )
+    r = subprocess.run(["bash", "-c", script], cwd=REPO,
+                       env={**os.environ, "EVAL_MANIFEST": str(mani)},
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(l) for l in mani.read_text().splitlines()]
+    assert len(lines) == 3  # t1 mapping + t1 token + t2 token-only
+    m = lines[0]
+    assert m["encd"] == 3 and m["decd"] == 2 and m["n_beams"] == 3
+    assert m["evals"][0].startswith("t1:datasets/x/eval/")
+    assert m["evals"][1].startswith("t1cross:datasets/x/cross/")
+    assert lines[1]["kind"] == "token_acc"
+    assert lines[2]["kind"] == "token_acc" and lines[2]["ckpt"] == "ck2"

@@ -39,7 +39,9 @@ base = {"ckpt": opt["ckpt"], "data_type": opt["mod"], "encd": int(opt["encd"]),
         "decd": int(opt["decd"]), "rnn": opt["rnn"], "out_dir": opt["out"]}
 if opt["n_beams"]:
     base["n_beams"] = int(opt["n_beams"])
-with open("runs/eval_manifest.jsonl", "a") as f:
+import os
+manifest = os.environ.get("EVAL_MANIFEST", "runs/eval_manifest.jsonl")
+with open(manifest, "a") as f:
     if not opt["token_only"]:
         evals = [test, cross] if opt["cross"] else [test]
         f.write(json.dumps(dict(base, evals=evals, beams=opt["beams"])) + "\n")
