@@ -170,6 +170,57 @@ def tf_stage_peaks(results_dir: Path) -> str:
             "tf-metric-vs-tf-metric but budgets differ on both sides.")
 
 
+def periodic_decode_section(results_dir: Path) -> str:
+    """45-6-mer set: reference flow (top beam) vs phase-selected decode
+    (n_beams=3 + Viterbi junction-agreement selection,
+    assembly.merger.select_beams_by_overlap), both under the round-4 mapper
+    (coverage-triggered exact-DP rescue). Emitted only when the ref45b3
+    evaluations exist."""
+    def cell(tag, beam, mod):
+        p = results_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
+        if not p.exists():
+            return None
+        for dk, cells in json.loads(p.read_text()).items():
+            if dk.startswith("_"):
+                continue
+            if mod in cells:
+                return cells[mod][0]
+        return None
+
+    if not (results_dir / "accuracy_results_all.ref45b3.beam5.json").exists():
+        return ""
+    lines = [
+        "### Periodic-genome decode (45-6-mer set): phase-selected beams",
+        "",
+        "The round-3 residual on this ultra-periodic set had two causes,",
+        "both fixed in round 4: (a) snippet decodes can lock onto the wrong",
+        "phase of the period — fixed by fetching the top-3 beams and",
+        "choosing the chain that maximizes junction overlap agreement",
+        "(Viterbi; `assembly.merger.select_beams_by_overlap`); (b) the",
+        "seed-chain mapper starved on the repetitive genome (every 15-mer",
+        "exceeds the occurrence cap), grading ~0.98-exact-identity reads at",
+        "~0.84 — fixed by the coverage-triggered exact-DP rescue stage",
+        "(`assembly.sce_mapper`). Same `ref45_*` checkpoints as the main",
+        "table (token accuracy 0.98+; the model was never the bottleneck):",
+        "",
+        "| modality | top beam b5 | phase-sel b5 | top beam b1 | phase-sel b1 | phase-sel b5 (cross) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for mod in MODS:
+        row = [cell("ref45", 5, mod), cell("ref45b3", 5, mod),
+               cell("ref45", 1, mod), cell("ref45b3", 1, mod),
+               cell("ref45b3cross", 5, mod)]
+        cells = " | ".join(f"{v:.1f}" if v is not None else "—" for v in row)
+        lines.append(f"| {mod} | {cells} |")
+    lines += [
+        "",
+        "Per-read records (`mapping_evaluator_results.ref45b3.*`) carry the",
+        "mapper `stage` field; on this set the rescue stage fires on most",
+        "reads (seed starvation), on normal genomes it never fires.",
+    ]
+    return "\n".join(lines)
+
+
 def provenance_notes(results_dir: Path, tags: dict) -> str:
     """Per-cell checkpoint provenance: folded cells (tools/fold_4096_lineage)
     carry a source_tag — disclose any row whose modalities come from
@@ -318,6 +369,8 @@ def main():
           "Beam 1 — held-out reads:",
           "",
           identity_table(id1, {m: {} for m in MODS}),
+          "",
+          periodic_decode_section(rdir),
           "",
           "Result-file tag used per vocab (one tag's files per row): "
           + ", ".join(f"{v}: `{t}`" for v, t in tags.items()) + ".",
