@@ -86,6 +86,14 @@ def build_cases():
     cases["garbage"] = (ref, _rand(rng, 3000))
     # 6: high-accuracy read (~2% error)
     cases["clean"] = (ref, _mutate(rng, ref[8000:16000], 0.01, 0.005, 0.005))
+    # 7: low-accuracy read (~35% error) — below the k=15 seed cliff; graded
+    # by the round-4 exact-DP rescue stage (minimap2 map-ont may or may not
+    # map it; the --minimap2 diff prints both sides for comparison)
+    cases["low_acc"] = (ref, _mutate(rng, ref[4000:8000], 0.21, 0.09, 0.09))
+    # 8: repetitive reference (period-6, occurrence-cap seed starvation) —
+    # the coverage-triggered rescue path
+    rep = ("ACGTGA" * 1200)[:7000]
+    cases["repetitive"] = (rep, _mutate(rng, rep[500:6500], 0.02, 0.01, 0.01))
     return cases
 
 
