@@ -21,6 +21,17 @@ from pathlib import Path
 # (source tag, modality) -> folded into ref4096c cells of that modality
 EXTENSIONS = [("ref4096d", "joint"), ("ref4096draw", "raw")]
 
+# Round-4 re-evaluations of the SAME checkpoints under the de-cliffed
+# mapper (tools/run_r4 enqueues tag ref4096r4; see assembly/sce_mapper
+# rescue stage): identity cells update, checkpoint provenance unchanged.
+# Applied AFTER EXTENSIONS so the re-measured numbers win.
+# (source tag, modality, checkpoint provenance tag)
+REEVALS = [
+    ("ref4096r4", "joint", "ref4096d"),
+    ("ref4096r4", "raw", "ref4096draw"),
+    ("ref4096r4", "event", "ref4096c"),
+]
+
 
 def _stamp(cell, src_tag: str):
     """Provenance: folded cells carry the tag of the checkpoint that
@@ -32,7 +43,9 @@ def _stamp(cell, src_tag: str):
     return cell
 
 
-def fold_aggregate(rdir: Path, src_tag: str, dst_tag: str, mod: str) -> None:
+def fold_aggregate(rdir: Path, src_tag: str, dst_tag: str, mod: str,
+                   provenance: str | None = None) -> None:
+    provenance = provenance or src_tag
     for beam in (5, 1):
         src = rdir / f"accuracy_results_all.{src_tag}.beam{beam}.json"
         dst = rdir / f"accuracy_results_all.{dst_tag}.beam{beam}.json"
@@ -49,10 +62,10 @@ def fold_aggregate(rdir: Path, src_tag: str, dst_tag: str, mod: str) -> None:
             if dk.startswith("_"):
                 continue
             if mod in cells:
-                ddata.setdefault(dk, {})[mod] = _stamp(cells[mod], src_tag)
+                ddata.setdefault(dk, {})[mod] = _stamp(cells[mod], provenance)
                 # identity triples are lists — provenance rides a reserved
                 # top-level key (readers skip "_"-prefixed keys)
-                ddata.setdefault("_provenance", {}).setdefault(dk, {})[mod] = src_tag
+                ddata.setdefault("_provenance", {}).setdefault(dk, {})[mod] = provenance
                 print(f"beam{beam} {dk} {mod}: <- {src_tag} {cells[mod]}")
         dst.write_text(json.dumps(ddata, indent=2))
 
@@ -99,6 +112,13 @@ def main():
         fold_aggregate(rdir, src_tag, "ref4096c", mod)
         fold_aggregate(rdir, src_tag + "cross", "ref4096ccross", mod)
         fold_token(rdir, src_tag, "ref4096c", mod)
+        fold_per_read(rdir, src_tag, "ref4096c", mod)
+    # round-4 mapper re-evaluations of the same checkpoints (identity cells
+    # only; token accuracy is mapper-independent and stays as-is)
+    for src_tag, mod, prov in REEVALS:
+        fold_aggregate(rdir, src_tag, "ref4096c", mod, provenance=prov)
+        fold_aggregate(rdir, src_tag + "cross", "ref4096ccross", mod,
+                       provenance=prov)
         fold_per_read(rdir, src_tag, "ref4096c", mod)
 
 
