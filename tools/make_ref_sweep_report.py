@@ -160,14 +160,47 @@ def tf_stage_peaks(results_dir: Path) -> str:
     if not best:
         return ""
     parts = ", ".join(f"{m} **{v:.3f}**" for m, v in sorted(best.items()))
-    return ("4096 tf-stage peaks (held-out test, end of the teacher-forced "
-            f"stages): {parts} — vs the reference's raw 0.789 / event 0.629 "
-            "/ joint 0.782. Budget note: the ref4096tf* points come from "
-            "checkpoints given ~25 additional fully-teacher-forced epochs "
-            "beyond the standard curriculum specifically to maximize this "
-            "metric (tools/run_r3_queue5.sh); the reference's curve models "
-            "trained 100 epochs at tf=1.0 throughout, so the comparison is "
-            "tf-metric-vs-tf-metric but budgets differ on both sides.")
+    out = ("4096 tf-stage peaks (held-out test, end of the teacher-forced "
+           f"stages): {parts} — vs the reference's raw 0.789 / event 0.629 "
+           "/ joint 0.782. Budget note: the ref4096tf* points come from "
+           "checkpoints given additional fully-teacher-forced epochs "
+           "beyond the standard curriculum specifically to maximize this "
+           "metric (tools/run_r3_queue5.sh, tools/run_r4 follow-ups); the "
+           "reference's curve models trained 100 epochs at tf=1.0 "
+           "throughout, so the comparison is tf-metric-vs-tf-metric but "
+           "budgets differ on both sides.")
+    # round-2 completion bar: one modality with tf >= 0.78 AND invalid <=
+    # 50% on held-out noisy 4096 reads, beam-1 nonzero — emit the evidence
+    # when the bar-checkpoint evaluations exist
+    def _cell(tag, beam):
+        p = results_dir / f"accuracy_results_all.{tag}.beam{beam}.json"
+        if not p.exists():
+            return None
+        for dk, cells in json.loads(p.read_text()).items():
+            if not dk.startswith("_"):
+                for mod, t in cells.items():
+                    return mod, t
+        return None
+
+    b5 = _cell("ref4096tfraw", 5)
+    b1 = _cell("ref4096tfraw", 1)
+    tok = None
+    ptok = results_dir / "token_acc.ref4096tfraw.json"
+    if ptok.exists():
+        for cells in json.loads(ptok.read_text()).values():
+            for mod, d in cells.items():
+                tok = d.get("teacher_forced")
+    if b5 and b1 and tok and tok >= 0.78 and b5[1][2] <= 50.0 and b1[1][0] > 0:
+        out += (
+            f"\n\nFree-running completion bar (round-2 criterion): met by "
+            f"the raw tf-extension checkpoint `ref4096tf_raw` — tf token "
+            f"acc **{tok:.3f}** (>= 0.78), beam-5 merged-read mapping "
+            f"invalid **{b5[1][2]:.1f}%** (<= 50; identity {b5[1][0]:.1f} "
+            f"total), beam-1 nonzero ({b1[1][0]:.1f} total / {b1[1][1]:.1f} "
+            f"valid). Same single checkpoint for all three numbers; mapping "
+            f"under the round-4 rescue-stage mapper (per-read records carry "
+            f"the stage field).")
+    return out
 
 
 def periodic_decode_section(results_dir: Path) -> str:
