@@ -987,29 +987,25 @@ class BasecallEngine:
         return out_t, out_p
 
     # -------------------- signal-only wire ("sigdev") --------------------
-    def dispatch_beam_signal(
+    def begin_beam_signal(
         self,
         raw_signal: np.ndarray,  # [S] raw DAC samples (ints)
-        max_output_len: Optional[int] = None,
-        beam_width: int = 5,
         stride: int = 6,
-    ) -> "PendingBeamCompact":
-        """Fast5-raw-in dispatch: ships ONLY the i16 raw signal (+32-byte
-        header). Event segmentation, features, and snippet ranges are all
-        computed on device (see ``_segment`` in ``__init__``); decode slabs
-        then run over the device-resident arrays with no further uploads.
-
-        Returns a handle for :meth:`collect_beam_compact`. Returns None if
-        the read overflows the device segmentation buffers (fall back to the
-        host compact path). One ~30ms host sync fetches the (n_events,
-        n_snippets) pair — the only host round-trip on this path; in the
-        pipelined evaluator it overlaps other reads' compute."""
+    ):
+        """Phase 1 of the signal-only dispatch: upload the raw i16 samples
+        (+32-byte header) and launch the on-device segmentation program
+        (t-stats + block-parallel peak scan + features + snippet ranges).
+        Starts the (n_events, n_snippets) meta fetch ASYNCHRONOUSLY and
+        returns immediately — the ~30-45ms link round-trip then overlaps
+        the caller's next read's load/upload instead of blocking dispatch
+        (it was the dominant per-read cost of this wire once the peak scan
+        was fixed). Returns an opaque handle for
+        :meth:`finish_beam_signal`, or the empty PendingBeamCompact for an
+        empty read."""
         raw = np.asarray(raw_signal)
         n_s = int(raw.size)
         if n_s == 0:
             return PendingBeamCompact([], self.total_steps, 1)
-        if max_output_len is None:
-            max_output_len = self.total_steps + 1
         # host z-score affine (O(S) streaming; float64 like the host path)
         rmean = float(raw.astype(np.float64).mean())
         rstd = float(raw.astype(np.float64).std())
@@ -1028,6 +1024,25 @@ class BasecallEngine:
             raw.astype(np.int16).view(np.uint8).reshape(-1))
         sig, feats, rr, er, meta = self._segment_jit(
             self._put(buf), S_b=S_b, E_b=E_b, N_max=N_max, stride=stride)
+        meta.copy_to_host_async()
+        return (sig, feats, rr, er, meta, E_b)
+
+    def finish_beam_signal(
+        self,
+        seg,
+        max_output_len: Optional[int] = None,
+        beam_width: int = 5,
+    ) -> Optional["PendingBeamCompact"]:
+        """Phase 2: materialize the segmentation meta (usually already
+        arrived), plan the decode slabs, and enqueue them over the
+        device-resident arrays — no further uploads. Returns a handle for
+        :meth:`collect_beam_compact`, or None on segmentation-buffer
+        overflow (fall back to the host compact path)."""
+        if isinstance(seg, PendingBeamCompact):  # empty read passthrough
+            return seg
+        sig, feats, rr, er, meta, E_b = seg
+        if max_output_len is None:
+            max_output_len = self.total_steps + 1
         n_true, n_snip = (int(v) for v in np.asarray(meta))
         if n_true > E_b:  # segmentation buffer overflow: caller falls back
             return None
@@ -1058,6 +1073,20 @@ class BasecallEngine:
             s += slab
         return PendingBeamCompact(pending, T_fetch,
                                   min(self.n_beams, beam_width))
+
+    def dispatch_beam_signal(
+        self,
+        raw_signal: np.ndarray,
+        max_output_len: Optional[int] = None,
+        beam_width: int = 5,
+        stride: int = 6,
+    ) -> Optional["PendingBeamCompact"]:
+        """One-call signal-only dispatch (begin + finish; the split API lets
+        pipelined callers hide the meta round-trip behind the next read)."""
+        return self.finish_beam_signal(
+            self.begin_beam_signal(raw_signal, stride),
+            max_output_len, beam_width,
+        )
 
     def predict_beam_signal(
         self,

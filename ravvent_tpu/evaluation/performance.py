@@ -171,6 +171,19 @@ class PerformanceEvaluator:
 
         start_all = timer()
         pending = deque()
+        seg_q = deque()  # sigdev: segmentations whose meta is still in flight
+
+        def finish_seg(seg, path, label_path):
+            # complete a deferred sigdev dispatch (meta has had a read's
+            # worth of load/upload time to arrive — the round-trip hides)
+            t1 = timer()
+            handle = self.engine.finish_beam_signal(
+                seg, beam_width=self.beam_width)
+            add_stage("dispatch", timer() - t1)
+            if handle is None:  # segmentation overflow: host path
+                handle = self._dispatch_compact(path, label_path)
+            pending.append(pool.submit(finish, handle, None))
+
         with ThreadPoolExecutor(max_workers=max(1, finishers)) as pool:
             for path in signal_paths:
                 t0 = timer()
@@ -182,12 +195,11 @@ class PerformanceEvaluator:
                     samples_num += int(raw.size)
                     t1 = timer()
                     stages["load"] += t1 - t0
-                    handle = self.engine.dispatch_beam_signal(
-                        raw, beam_width=self.beam_width, stride=self.stride)
+                    seg = self.engine.begin_beam_signal(raw, stride=self.stride)
                     stages["dispatch"] += timer() - t1
-                    if handle is None:  # segmentation overflow: host path
-                        handle = self._dispatch_compact(path, label_path)
-                    pending.append(pool.submit(finish, handle, None))
+                    seg_q.append((seg, path, label_path))
+                    if len(seg_q) >= 2:  # one-read lag hides the meta sync
+                        finish_seg(*seg_q.popleft())
                     while len(pending) >= inflight:
                         pending.popleft().result()
                     continue
@@ -208,6 +220,8 @@ class PerformanceEvaluator:
                 pending.append(pool.submit(finish, handle, rr))
                 while len(pending) >= inflight:
                     pending.popleft().result()
+            while seg_q:
+                finish_seg(*seg_q.popleft())
             while pending:
                 pending.popleft().result()
         wall = timer() - start_all

@@ -309,3 +309,63 @@ def test_gather_rows_matches_naive():
         for n in range(N):
             ref[n, :lens[n]] = srcp[starts[n]:starts[n] + lens[n]]
         np.testing.assert_array_equal(out, ref)
+
+
+def test_pipelined_sigdev_matches_sequential(tmp_path):
+    """Pipelined sigdev (split begin/finish dispatch: the meta round-trip
+    hides behind the next read's load) must produce the same merged
+    sequences as sequential sigdev runs."""
+    from ravvent_tpu.evaluation.performance import PerformanceEvaluator
+
+    rng = np.random.default_rng(33)
+    genome = simulator.random_genome(1500, rng)
+    paths = []
+    for i in range(3):
+        sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+        sp, lp = tmp_path / f"r{i}.signal", tmp_path / f"r{i}.label"
+        chiron.write_read(sp, lp, sig, ranges, genome)
+        paths.append(str(sp))
+
+    cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+    engine = BasecallEngine(params, cfg, chunk_size=64)
+
+    # split API == one-shot API
+    raw = chiron.load_signal(paths[0])
+    h1 = engine.dispatch_beam_signal(raw, beam_width=3)
+    t1, p1 = engine.collect_beam_compact(h1)
+    h2 = engine.finish_beam_signal(engine.begin_beam_signal(raw), beam_width=3)
+    t2, p2 = engine.collect_beam_compact(h2)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(p1, p2)
+
+    pe = PerformanceEvaluator(engine, beam_width=3,
+                              cache_dir=str(tmp_path / "c"), wire="sigdev")
+
+    def capturing(store):
+        orig = pe.merger.merge_flat
+
+        def wrapped(*a, **k):
+            out = orig(*a, **k)
+            store.append(out.seq)
+            return out
+
+        return orig, wrapped
+
+    # sequential sigdev reference (run() is the compact-path reference
+    # timing contract, so build the sigdev baseline from the engine API)
+    seq_sequential = []
+    for p in paths:
+        h = engine.dispatch_beam_signal(chiron.load_signal(p), beam_width=3)
+        tokens, probs = engine.collect_beam_compact(h)
+        blob, offsets, flat_probs = pe._postprocess(tokens, probs)
+        seq_sequential.append(
+            pe.merger.merge_flat(blob, offsets, flat_probs).seq)
+
+    seq_pipelined = []
+    orig, pe.merger.merge_flat = capturing(seq_pipelined)
+    rec = pe.run_pipelined(paths, inflight=2)
+    pe.merger.merge_flat = orig
+
+    assert sorted(seq_pipelined) == sorted(seq_sequential)
+    assert rec["wire"] == "sigdev" and rec["reads"] == 3
