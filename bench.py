@@ -236,6 +236,13 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
     pipe_sig = min((pe_sig.run_pipelined(stream, inflight=8, finishers=4)
                     for _ in range(passes)),
                    key=lambda r: r["wall_s"])
+    # u8 window-quantized variant: half the upload; ~97% boundary
+    # agreement, aggregate-identity-neutral (docs/PERFORMANCE.md entry 21)
+    pe_sig8 = PerformanceEvaluator(engine, beam_width=beam_width,
+                                   cache_dir=cache, wire="sigdev8")
+    pipe_sig8 = min((pe_sig8.run_pipelined(stream, inflight=8, finishers=4)
+                     for _ in range(passes)),
+                    key=lambda r: r["wall_s"])
 
     details = {
         "device": str(jax.devices()[0]),
@@ -253,6 +260,7 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         "samples_per_s": samples_per_s,
         "pipeline": pipe,
         "pipeline_sigdev": pipe_sig,
+        "pipeline_sigdev8": pipe_sig8,
         "reads": results,
     }
 
@@ -273,6 +281,15 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
         details["identity_total_sigdev"] = ts
         details["identity_valid_sigdev"] = vs
         details["invalid_pct_sigdev"] = inv
+        evs8 = MappingEvaluator(engine, beam_width=beam_width,
+                                cache_dir=cache, wire="sigdev8")
+        evs8.evaluate_files(fi, BENCH_DATA / "map_results.sigdev8.json",
+                            verbose=False)
+        t8, v8, i8 = evs8.compute_total_results(
+            BENCH_DATA / "map_results.sigdev8.json")
+        details["identity_total_sigdev8"] = t8
+        details["identity_valid_sigdev8"] = v8
+        details["invalid_pct_sigdev8"] = i8
         # embed the per-read mapping records so the committed
         # BENCH_DETAILS.json is a self-contained, auditable evidence
         # snapshot (the .bench_data working files are gitignored)

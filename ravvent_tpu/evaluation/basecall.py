@@ -650,16 +650,20 @@ class BasecallEngine:
             static_argnames=("S_b", "E_b", "beam_width", "T_out", "n_rows",
                              "stride"))
 
-        def _segment(buf, S_b, E_b, N_max, stride):
-            # Signal-only wire ("sigdev"): ONE upload per read — the raw i16
+        def _segment(buf, S_b, E_b, N_max, stride, sig_wire="i16"):
+            # Signal-only wire ("sigdev"): ONE upload per read — the raw
             # DAC samples + a 32-byte header (z-score affine, true length).
             # Segmentation (reduce_window t-stats + peak scan), event-length
             # assembly, event features (self-scaled), and snippet-range
             # construction ALL run on device; nothing else ever travels
-            # host->device for the read. Boundaries are bit-identical to the
-            # streaming host detector (ops/event_detect.py parity domain,
-            # windows 6/9); the label-clip/patch quirks do not apply (no
-            # labels exist on this path — see docs).
+            # host->device for the read. With sig_wire="i16" boundaries are
+            # bit-identical to the streaming host detector
+            # (ops/event_detect.py parity domain, windows 6/9); "u8" ships
+            # window-quantized samples (1 byte each, hdr[3]=lo hdr[4]=step:
+            # raw = u8*step + lo) — measured 97.3% boundary agreement and
+            # aggregate-identity-neutral on bench reads (docs/PERFORMANCE.md
+            # entry 21), NOT bit-parity. The label-clip/patch quirks do not
+            # apply on this path (no labels exist at inference — see docs).
             from ravvent_tpu.ops.event_detect import (
                 detect_boundaries_device, fired_to_event_lens,
             )
@@ -668,9 +672,13 @@ class BasecallEngine:
                 buf[:32].reshape(8, 4), jnp.float32)
             n_s = jax.lax.bitcast_convert_type(
                 buf[8:12].reshape(1, 4), jnp.int32)[0]
-            raw = jax.lax.bitcast_convert_type(
-                buf[32 : 32 + S_b * 2].reshape(S_b, 2), jnp.int16
-            ).astype(jnp.float32)
+            if sig_wire == "u8":
+                raw = (buf[32 : 32 + S_b].astype(jnp.float32) * hdr[4]
+                       + hdr[3])
+            else:
+                raw = jax.lax.bitcast_convert_type(
+                    buf[32 : 32 + S_b * 2].reshape(S_b, 2), jnp.int16
+                ).astype(jnp.float32)
             # block-parallel peak scan: ~170x fewer sequential steps than the
             # per-sample scan (the round-3 sigdev dispatch bottleneck), still
             # bit-exact via on-device coupling verification + fallback
@@ -687,7 +695,8 @@ class BasecallEngine:
             return sig, feats, rr, er, meta
 
         self._segment_jit = jax.jit(
-            _segment, static_argnames=("S_b", "E_b", "N_max", "stride"))
+            _segment,
+            static_argnames=("S_b", "E_b", "N_max", "stride", "sig_wire"))
 
         def _slab_slice(sig, feats, rr, er, start, slab, max_steps, beam_width,
                         T_out):
@@ -991,6 +1000,7 @@ class BasecallEngine:
         self,
         raw_signal: np.ndarray,  # [S] raw DAC samples (ints)
         stride: int = 6,
+        sig_wire: str = "i16",
     ):
         """Phase 1 of the signal-only dispatch: upload the raw i16 samples
         (+32-byte header) and launch the on-device segmentation program
@@ -1002,28 +1012,47 @@ class BasecallEngine:
         was fixed). Returns an opaque handle for
         :meth:`finish_beam_signal`, or the empty PendingBeamCompact for an
         empty read."""
+        assert sig_wire in ("i16", "u8")
         raw = np.asarray(raw_signal)
         n_s = int(raw.size)
         if n_s == 0:
             return PendingBeamCompact([], self.total_steps, 1)
-        # host z-score affine (O(S) streaming; float64 like the host path)
-        rmean = float(raw.astype(np.float64).mean())
-        rstd = float(raw.astype(np.float64).std())
-        rstd = rstd if rstd != 0.0 else 1.0
         S_b = self._bucket(n_s, 65536)
         E_b = S_b // 2          # events are >= 1 sample
         # over-allocate rows by a full chunk so the slab dynamic_slice never
         # clamps (rows past n_snip are zeroed by the validity mask)
         N_max = E_b // stride + 1 + self.chunk_size
         hdr = np.zeros(8, np.float32)
-        hdr[0], hdr[1] = rmean, rstd
         hdr[2:3].view(np.int32)[0] = n_s
-        buf = np.zeros(32 + S_b * 2, np.uint8)
-        buf[:32] = hdr.view(np.uint8)
-        buf[32 : 32 + n_s * 2] = (
-            raw.astype(np.int16).view(np.uint8).reshape(-1))
+        if sig_wire == "u8":
+            # window-quantize to 255 levels over [lo, hi]; the z-score
+            # affine is computed from the DEQUANTIZED values so the device
+            # features see a self-consistent distribution
+            rf = raw.astype(np.float64)
+            lo, hi = float(rf.min()), float(rf.max())
+            step = max((hi - lo) / 255.0, 1e-12)
+            q = np.round((rf - lo) / step)
+            deq = q * step + lo
+            hdr[3], hdr[4] = lo, step
+            hdr[0] = float(deq.mean())
+            rstd = float(deq.std())
+            hdr[1] = rstd if rstd != 0.0 else 1.0
+            buf = np.zeros(32 + S_b, np.uint8)
+            buf[:32] = hdr.view(np.uint8)
+            buf[32 : 32 + n_s] = q.astype(np.uint8)
+        else:
+            # host z-score affine (O(S) streaming; float64 like host path)
+            rmean = float(raw.astype(np.float64).mean())
+            rstd = float(raw.astype(np.float64).std())
+            hdr[0] = rmean
+            hdr[1] = rstd if rstd != 0.0 else 1.0
+            buf = np.zeros(32 + S_b * 2, np.uint8)
+            buf[:32] = hdr.view(np.uint8)
+            buf[32 : 32 + n_s * 2] = (
+                raw.astype(np.int16).view(np.uint8).reshape(-1))
         sig, feats, rr, er, meta = self._segment_jit(
-            self._put(buf), S_b=S_b, E_b=E_b, N_max=N_max, stride=stride)
+            self._put(buf), S_b=S_b, E_b=E_b, N_max=N_max, stride=stride,
+            sig_wire=sig_wire)
         meta.copy_to_host_async()
         return (sig, feats, rr, er, meta, E_b)
 
@@ -1080,11 +1109,12 @@ class BasecallEngine:
         max_output_len: Optional[int] = None,
         beam_width: int = 5,
         stride: int = 6,
+        sig_wire: str = "i16",
     ) -> Optional["PendingBeamCompact"]:
         """One-call signal-only dispatch (begin + finish; the split API lets
         pipelined callers hide the meta round-trip behind the next read)."""
         return self.finish_beam_signal(
-            self.begin_beam_signal(raw_signal, stride),
+            self.begin_beam_signal(raw_signal, stride, sig_wire=sig_wire),
             max_output_len, beam_width,
         )
 
@@ -1094,12 +1124,13 @@ class BasecallEngine:
         max_output_len: Optional[int] = None,
         beam_width: int = 5,
         stride: int = 6,
+        sig_wire: str = "i16",
     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Raw signal in, per-snippet (tokens, step probs) out — the whole
         front half (segmentation -> features -> snippets) on device. None on
         segmentation-buffer overflow (use the host compact path then)."""
         h = self.dispatch_beam_signal(raw_signal, max_output_len, beam_width,
-                                      stride)
+                                      stride, sig_wire=sig_wire)
         if h is None:
             return None
         return self.collect_beam_compact(h)

@@ -65,7 +65,8 @@ class MappingEvaluator:
         # ranges all run on device (BasecallEngine.predict_beam_signal).
         # Label-free path: no clip/patch quirks, and the merge runs without
         # the raw-range positional prior (the host never sees the ranges).
-        assert wire in ("compact", "sigdev")
+        assert wire in ("compact", "sigdev", "sigdev8")
+        self.sig_wire = "u8" if wire == "sigdev8" else "i16"
         self.wire = wire
 
     # ------------------------------------------------------------------
@@ -74,7 +75,7 @@ class MappingEvaluator:
         (reference: ravvent_mapping_evaluator.py:31-57)."""
         if label_path is None:
             label_path = Path(signal_path).with_suffix(".label")
-        if self.wire == "sigdev":
+        if self.wire.startswith("sigdev"):
             out = self._basecall_read_sigdev(signal_path, label_path)
             if out is not None:
                 return out
@@ -148,7 +149,7 @@ class MappingEvaluator:
                 max_output_len = int((nuc != 0).sum(axis=1).max())
         out = self.engine.predict_beam_signal(
             raw, max_output_len=max_output_len, beam_width=self.beam_width,
-            stride=self.stride)
+            stride=self.stride, sig_wire=getattr(self, "sig_wire", "i16"))
         if out is None:
             return None
         tokens, probs = out

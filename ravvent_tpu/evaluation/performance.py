@@ -45,7 +45,10 @@ class PerformanceEvaluator:
         # ranges run on device (engine.dispatch_beam_signal). The merge then
         # runs without the raw-range positional prior (host never sees the
         # ranges), and t_data_loading drops to a raw-signal file read.
-        assert wire in ("compact", "sigdev")
+        assert wire in ("compact", "sigdev", "sigdev8")
+        # "sigdev8": u8 window-quantized signal (half the upload; boundary
+        # agreement 97.3%, aggregate-identity-neutral — PERFORMANCE.md e21)
+        self.sig_wire = "u8" if wire == "sigdev8" else "i16"
         self.wire = wire
 
     def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:
@@ -188,14 +191,15 @@ class PerformanceEvaluator:
             for path in signal_paths:
                 t0 = timer()
                 label_path = Path(path).with_suffix(".label")
-                if self.wire == "sigdev":
+                if self.wire.startswith("sigdev"):
                     raw = chiron.load_signal(path)
                     ranges, _ = chiron.load_label(label_path)
                     bases_num += int(ranges.shape[0])
                     samples_num += int(raw.size)
                     t1 = timer()
                     stages["load"] += t1 - t0
-                    seg = self.engine.begin_beam_signal(raw, stride=self.stride)
+                    seg = self.engine.begin_beam_signal(
+                        raw, stride=self.stride, sig_wire=self.sig_wire)
                     stages["dispatch"] += timer() - t1
                     seg_q.append((seg, path, label_path))
                     if len(seg_q) >= 2:  # one-read lag hides the meta sync

@@ -92,3 +92,33 @@ def test_sigdev_tokens_match_compact_on_trained_checkpoint(tmp_path):
     frac = same / max(len(pairs), 1)
     assert frac > 0.8, f"only {same}/{len(pairs)} sigdev rows match compact"
     assert any(len(s) > 5 for s in seq_s), "sigdev produced empty decodes"
+
+
+def test_sigdev8_wire_runs_and_tracks_i16(tmp_path):
+    """u8 window-quantized signal wire: runs end-to-end; snippet counts and
+    decodes track the i16 wire closely (quantization is below pore noise;
+    boundary agreement ~97% — NOT bit parity, by design)."""
+    import jax
+
+    from ravvent_tpu.config import ModelConfig
+    from ravvent_tpu.data import chiron, simulator
+    from ravvent_tpu.evaluation.basecall import BasecallEngine
+    from ravvent_tpu.models.basecaller import init_basecaller
+
+    mcfg = ModelConfig(enc_units=12, dec_units=12, encoder_depth=1,
+                      decoder_depth=1, rnn_type="bilstm", data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), mcfg)
+    d = tmp_path
+    rng = np.random.default_rng(11)
+    genome = simulator.random_genome(1200, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    chiron.write_read(d / "r.signal", d / "r.label", sig, ranges, genome)
+    raw = chiron.load_signal(str(d / "r.signal"))
+    eng = BasecallEngine(params, mcfg, chunk_size=128)
+    t16, _ = eng.predict_beam_signal(raw, max_output_len=32, beam_width=2)
+    t8, _ = eng.predict_beam_signal(raw, max_output_len=32, beam_width=2,
+                                    sig_wire="u8")
+    assert abs(t8.shape[0] - t16.shape[0]) <= max(3, t16.shape[0] // 20)
+    n = min(t8.shape[0], t16.shape[0])
+    same = sum(np.array_equal(t8[i], t16[i]) for i in range(n))
+    assert same > 0.5 * n, f"only {same}/{n} snippet rows match i16 wire"
