@@ -202,7 +202,11 @@ class PerformanceEvaluator:
                         raw, stride=self.stride, sig_wire=self.sig_wire)
                     stages["dispatch"] += timer() - t1
                     seg_q.append((seg, path, label_path))
-                    if len(seg_q) >= 2:  # one-read lag hides the meta sync
+                    # one-read lag hides the meta link round-trip; deeper
+                    # lag was measured neutral (the residual finish wait is
+                    # the segmentation program's own device time queued
+                    # behind other reads' decode — device-compute-bound)
+                    if len(seg_q) >= 2:
                         finish_seg(*seg_q.popleft())
                     while len(pending) >= inflight:
                         pending.popleft().result()
