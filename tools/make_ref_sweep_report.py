@@ -354,18 +354,17 @@ def main():
           "- Mapping identity uses the built-in seed-chain-extend local mapper",
           "  (`sce`; minimap2 is not installable here). Unmapped reads count 0,",
           "  like the reference aggregation (ravvent_mapping_evaluator.py:152-167).",
-          "  On the ultra-repetitive small-vocabulary genomes (45/450 6-mers),",
-          "  round 2's overlap merge degraded badly (45-row identity 54.6 at",
-          "  0.988 token accuracy): overlaps are not unique on near-periodic",
-          "  sequence. Round 3's positional alignment prior (expected-offset",
-          "  band from the snippet-stride geometry, assembly/merger.py) plus",
-          "  full-coverage retraining lifted the row to 72-83 with individual",
-          "  reads at 1.000; the residual deficit is decode phase ambiguity",
-          "  (free-running beam locks onto the wrong phase of the period —",
-          "  insensitive to the prior weight, swept 0/1.5/4/10), so the",
-          "  token-accuracy table remains the faithful difficulty readout",
-          "  there (the reference never ran its mapping evaluator on these",
-          "  sets).",
+          "  On the ultra-repetitive small-vocabulary genomes (45/450 6-mers)",
+          "  the 45-row history is instructive: round 2's merge degraded to",
+          "  54.6 at 0.988 token accuracy (period-shifted overlap alignments),",
+          "  round 3's positional alignment prior lifted it to 72-83, and",
+          "  round 4 closed the rest — the residual was mapper seed",
+          "  starvation (every 15-mer exceeds the occurrence cap on a",
+          "  45-6-mer genome; fixed by the coverage-triggered exact-DP rescue",
+          "  stage) plus decode phase slips (fixed by 3-beam Viterbi",
+          "  junction-agreement selection). The row now reads 98+ — see the",
+          "  periodic-genome decode section below. (The reference never ran",
+          "  its mapping evaluator on these sets.)",
           "- The 4096 (full-vocabulary) row is the round-3 lineage: depth",
           "  (3,2), warm-started from the 2048 (3,2) model, trained with",
           "  full-coverage data (the round-2 collapse was the truncated-epoch",
