@@ -120,3 +120,34 @@ def test_sharded_dispatch_collect_pipelining(tmp_path):
         toks, probs = eng.collect_beam_compact(h)
         assert toks.shape[0] == n == probs.shape[0]
         assert (toks >= 0).all() and (toks < 7).all()
+
+
+def test_sharded_multibeam_matches_single_device(tmp_path):
+    """n_beams>1 over the mesh: the beam-flattened wire shards over rows
+    like any other fetch; sharded [N, K, T] must equal single-device."""
+    from ravvent_tpu.data import chiron, simulator
+    from ravvent_tpu.data.snippets import load_read_compact
+
+    rng = np.random.default_rng(13)
+    genome = simulator.random_genome(1200, rng)
+    sig, ranges = simulator.simulate_read(genome, rng, simulator.PoreModel())
+    sp, lp = tmp_path / "r.signal", tmp_path / "r.label"
+    chiron.write_read(sp, lp, sig, ranges, genome)
+    sigc, rr, ev, er, nuc = load_read_compact(sp, lp, stride=6)
+    max_len = int((nuc != 0).sum(axis=1).max())
+
+    cfg = ModelConfig(enc_units=16, dec_units=16, encoder_depth=1, data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), cfg)
+
+    single = BasecallEngine(params, cfg, chunk_size=64, transport_dtype="f32",
+                            n_beams=2)
+    t1, p1 = single.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    assert t1.ndim == 3 and t1.shape[1] == 2
+
+    mesh = make_mesh(8)
+    sharded = ShardedBasecallEngine(params, cfg, mesh, chunk_size=64,
+                                    transport_dtype="f32", n_beams=2)
+    t2, p2 = sharded.predict_beam_compact(sigc, rr, ev, er, max_len, 3)
+    T = min(t1.shape[-1], t2.shape[-1])
+    np.testing.assert_array_equal(t1[..., :T], t2[..., :T])
+    np.testing.assert_allclose(p1[..., :T], p2[..., :T], rtol=2e-2, atol=1e-3)
