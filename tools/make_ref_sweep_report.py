@@ -376,7 +376,13 @@ def main():
           "  exported identity-best checkpoint, with the tf-stage peaks noted",
           "  below it. A fresh random full-vocab genome offers no LM gradient,",
           "  so from scratch the task pins at the unigram plateau — the",
-          "  2048-warm-start is load-bearing.",
+          "  2048-warm-start is load-bearing. Beam-1 at 4096 stays at/near",
+          "  zero across checkpoints for a structural reason: without beam",
+          "  bookkeeping the free-running decode misses the end token and",
+          "  emits ~2x over-length babble (measured: 15.0kb prediction for a",
+          "  7.7kb read) that the mapper correctly scores as chance-level;",
+          "  beam-5's finished-beam accounting avoids it (same checkpoint:",
+          "  identity 53.9, 0% invalid).",
           "",
           "## Token test accuracy (teacher-forced) vs the reference curve",
           "",
