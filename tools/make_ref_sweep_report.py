@@ -377,12 +377,14 @@ def main():
           "  below it. A fresh random full-vocab genome offers no LM gradient,",
           "  so from scratch the task pins at the unigram plateau — the",
           "  2048-warm-start is load-bearing. Beam-1 at 4096 stays at/near",
-          "  zero across checkpoints for a structural reason: without beam",
-          "  bookkeeping the free-running decode misses the end token and",
-          "  emits ~2x over-length babble (measured: 15.0kb prediction for a",
-          "  7.7kb read) that the mapper correctly scores as chance-level;",
-          "  beam-5's finished-beam accounting avoids it (same checkpoint:",
-          "  identity 53.9, 0% invalid).",
+          "  zero across checkpoints for a structural reason: per-snippet",
+          "  beam-1 accuracy at this difficulty is too low for the 25-base",
+          "  junction alignments, so the merge fold degenerates toward",
+          "  concatenation (measured: 15.0kb prediction for a 7.7kb read —",
+          "  ~2x; capping the decode bound doesn't change it) and the mapper",
+          "  correctly scores the result as chance-level. Beam-5 survives",
+          "  (same checkpoint: identity 53.9, 0% invalid) because its",
+          "  per-snippet sequences stay above the junction-alignment floor.",
           "",
           "## Token test accuracy (teacher-forced) vs the reference curve",
           "",
