@@ -157,12 +157,25 @@ class Merger:
     periodic sequence) always loses Δ·(weight−match) > 0."""
 
     def __init__(self, scores_id: int = 0, use_native: bool = True,
-                 offset_prior_weight: float = 1.5) -> None:
+                 offset_prior_weight: float = 1.5,
+                 geom_arbitration: Optional[float] = None) -> None:
         self.scores_id = scores_id
         self.overlap_seq_len = 25
         self._merger = SingleMergerByLogits()
         self.use_native = use_native
         self.offset_prior_weight = offset_prior_weight
+        # geom_arbitration (OFF by default — reference fold parity): accept
+        # a junction alignment only when its implied overlap length is
+        # within this many bases of the geometric expectation; otherwise
+        # splice geometrically at round(expected_overlap). Low-accuracy
+        # snippets (e.g. beam-1 at the 4096 vocab) produce
+        # successful-but-wrong tiny alignments that inflate the merged read
+        # ~2x; arbitration bounds the damage at snippet quality instead of
+        # zero (measured: 4096 beam-1 merged identity 0.0 -> ~0.57). The
+        # soft positional prior remains the primary mechanism — this is a
+        # hard gate for the regime where even the prior-scored alignment is
+        # noise.
+        self.geom_arbitration = geom_arbitration
 
     def _align(self, s1: str, s2: str, expected_overlap: Optional[float] = None
                ) -> Optional[alignment.AlignmentResult]:
@@ -269,7 +282,11 @@ class Merger:
         the zero-marshalling fast path into the native fold.
         ``expected_overlaps`` (len n-1, from snippet raw-span geometry)
         enables the positional alignment prior."""
-        if self.use_native and offsets.size > 2:
+        if (self.use_native and offsets.size > 2
+                and self.geom_arbitration is None):
+            # (arbitration mode runs the python fold with native per-pair
+            # alignments — the whole-fold native kernel implements only the
+            # reference semantics)
             try:
                 from ravvent_tpu.ops import native
 
@@ -306,7 +323,7 @@ class Merger:
         """Fold over (seq, per-base-score-array) pairs without building a
         Python SeqLogitsPair per snippet — the native fast path consumes the
         arrays directly (the per-element list conversions cost ~15ms/read)."""
-        if self.use_native and len(seqs) > 1:
+        if self.use_native and len(seqs) > 1 and self.geom_arbitration is None:
             try:
                 from ravvent_tpu.ops import native
 
@@ -344,7 +361,8 @@ class Merger:
         fold below is the behavior oracle. ``expected_overlaps[i]`` is the
         geometrically expected number of overlapping bases between snippets
         i and i+1 (see merge_flat) — enables the positional prior."""
-        if self.use_native and len(nuc_pred_snippets) > 1:
+        if (self.use_native and len(nuc_pred_snippets) > 1
+                and self.geom_arbitration is None):
             try:
                 from ravvent_tpu.ops import native
 
@@ -389,6 +407,32 @@ class Merger:
             if expected_overlaps is not None and expected_overlaps[i - 1] >= 0:
                 eo = float(expected_overlaps[i - 1])
             algn = self._align(seq1_overlap, seq2_overlap, expected_overlap=eo)
+            if (algn is not None and eo is not None
+                    and self.geom_arbitration is not None):
+                # hard geometry gate: the aligned block must (a) start
+                # where geometry expects the shared region to start in the
+                # accumulated tail and (b) actually CONSUME ~the expected
+                # number of shared bases of the appended snippet — a tiny
+                # high-scoring match at the right offset still inflates the
+                # splice (union grows by the unmatched remainder)
+                start1 = len(algn.seq1_gapped[: algn.begin].replace("-", ""))
+                implied = len(seq1_overlap) - start1
+                consumed2 = len(
+                    algn.seq2_gapped[algn.begin: algn.end].replace("-", ""))
+                eo_c = min(eo, float(len(seq1_overlap)),
+                           float(len(seq2_overlap)))
+                tol = self.geom_arbitration
+                if (abs(implied - eo_c) > tol
+                        or consumed2 < eo_c - tol):
+                    algn = None  # treat as unusable -> geometric splice
+            if algn is None and self.geom_arbitration is not None and eo is not None:
+                # geometric splice: drop the expected overlap from the
+                # appended snippet (bounded damage instead of keep/reset)
+                k = min(int(round(eo)), len(seq_appended))
+                seq_merged = seq_merged + seq_appended[k:]
+                logits_merged = logits_merged + logits_appended[k:]
+                merge_flag = True
+                continue
             if algn is None:
                 logger.warning(
                     "no alignment was found between %dth and %dth snippets", i - 1, i

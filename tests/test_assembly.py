@@ -293,3 +293,57 @@ def test_expected_overlaps_from_ranges():
     lens2 = np.array([22, 0, 22])
     eo2 = expected_overlaps_from_ranges(rr, lens2)
     assert eo2.shape == (2,) and np.all(eo2 > 0)
+
+
+def test_geom_arbitration_rejects_spurious_tiny_alignment():
+    """A tiny high-scoring match at a wrong place inflates the reference
+    fold's splice (union grows by the unmatched remainder); geometry
+    arbitration must splice at the expected overlap instead."""
+    from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
+
+    rng = np.random.default_rng(3)
+    bases = "ACGT"
+    # truth: s = a + b with |overlap| = 15 between snippet windows
+    core = "".join(rng.choice(list(bases), 60))
+    snip1 = core[:40]
+    # snippet 2: shares core[25:40] (15 bases) then continues, but its
+    # shared region is corrupted except for a 5-base island
+    shared = core[25:40]
+    corrupted = "TT" + shared[2:7] + "GGCCAAGG"  # only a 5-mer island
+    snip2 = corrupted + core[40:]
+    p1 = SeqLogitsPair(snip1, [0.9] * len(snip1))
+    p2 = SeqLogitsPair(snip2, [0.9] * len(snip2))
+
+    ref_fold = Merger(scores_id=0, use_native=False).merge(
+        [p1, p2], expected_overlaps=np.array([15.0]))
+    arb_fold = Merger(scores_id=0, use_native=False,
+                      geom_arbitration=4.0).merge(
+        [p1, p2], expected_overlaps=np.array([15.0]))
+    true_len = len(snip1) + len(snip2) - 15
+    # the arbitrated fold must land near the geometric length; the
+    # reference fold inflates past it
+    assert abs(len(arb_fold.seq) - true_len) <= 4, (
+        len(arb_fold.seq), true_len)
+    assert len(ref_fold.seq) >= len(arb_fold.seq)
+
+
+def test_geom_arbitration_neutral_on_clean_junctions():
+    """When junction alignments agree with geometry, arbitration must not
+    change the merge at all."""
+    from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
+
+    rng = np.random.default_rng(7)
+    core = "".join(rng.choice(list("ACGT"), 200))
+    snips, eos = [], []
+    s = 0
+    while s + 40 <= len(core):
+        snips.append(core[s:s + 40])
+        if s > 0:
+            eos.append(25.0)  # stride 15 -> overlap 25
+        s += 15
+    pairs = [SeqLogitsPair(x, [0.9] * len(x)) for x in snips]
+    a = Merger(scores_id=0, use_native=False).merge(
+        pairs, expected_overlaps=np.array(eos))
+    b = Merger(scores_id=0, use_native=False, geom_arbitration=4.0).merge(
+        pairs, expected_overlaps=np.array(eos))
+    assert a.seq == b.seq == core[:len(a.seq)]

@@ -65,6 +65,8 @@ def run_job(job: dict) -> bool:
                "--out-dir", job["out_dir"]]
         if job.get("n_beams"):
             cmd += ["--n-beams", str(job["n_beams"])]
+        if job.get("geom_arbitration"):
+            cmd += ["--geom-arbitration", str(job["geom_arbitration"])]
         for spec in job["evals"]:
             cmd += ["--eval", spec]
     if BACKEND == "cpu":

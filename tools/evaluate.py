@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--tag", default="sim_lambda")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--geom-arbitration", type=float, default=None,
+                    help="merge-fold geometry gate tolerance in bases "
+                         "(opt-in; see assembly.merger.Merger)")
     ap.add_argument("--n-beams", type=int, default=1,
                     help="fetch the top-K beams per snippet and select by "
                          "junction overlap agreement before merging (phase "
@@ -102,7 +105,8 @@ def main():
     depth_key = f"({args.encoder_depth}, {args.decoder_depth})"
     for beam in beams:
         for tag, files_info, cache in plan:
-            ev = MappingEvaluator(engine, beam_width=beam, cache_dir=cache)
+            ev = MappingEvaluator(engine, beam_width=beam, cache_dir=cache,
+                                  geom_arbitration=args.geom_arbitration)
             res_path = out_dir / (
                 f"mapping_evaluator_results.{tag}.{args.data_type}."
                 f"encd{args.encoder_depth}.decd{args.decoder_depth}.beam{beam}.json"

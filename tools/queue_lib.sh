@@ -17,7 +17,8 @@ import json, sys
 
 args = sys.argv[1:]
 opt = {"encd": "2", "decd": "1", "rnn": "bilstm", "beams": "5,1",
-       "n_beams": None, "token": False, "token_only": False, "cross": True}
+       "n_beams": None, "geom_arbitration": None,
+       "token": False, "token_only": False, "cross": True}
 i = 0
 while i < len(args):
     a = args[i]
@@ -39,6 +40,8 @@ base = {"ckpt": opt["ckpt"], "data_type": opt["mod"], "encd": int(opt["encd"]),
         "decd": int(opt["decd"]), "rnn": opt["rnn"], "out_dir": opt["out"]}
 if opt["n_beams"]:
     base["n_beams"] = int(opt["n_beams"])
+if opt["geom_arbitration"]:
+    base["geom_arbitration"] = float(opt["geom_arbitration"])
 import os
 manifest = os.environ.get("EVAL_MANIFEST", "runs/eval_manifest.jsonl")
 with open(manifest, "a") as f:
