@@ -83,6 +83,57 @@ def main():
     ]
     for r in rows:
         md.append("| " + " | ".join(r) + " |")
+    # full arbitrated matrix (when the m2048arb sweep has landed): every
+    # depth x modality cell, baseline (m2048 tags, reference fold) vs
+    # arbitrated (m2048arb)
+    def matrix_cell(tag, dk, mod, beam, cross):
+        base = ("results/matrix" if not tag.endswith("arb")
+                else "results/arbitration")
+        p = REPO / f"{base}/accuracy_results_all.{tag}{'cross' if cross else ''}.beam{beam}.json"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text()).get(dk, {}).get(mod)
+
+    depths = ["(1, 1)", "(2, 1)", "(2, 2)", "(3, 1)", "(3, 2)"]
+    mods = ["raw", "event", "joint"]
+    n_have = sum(
+        matrix_cell("m2048arb", dk, m, 5, False) is not None
+        for dk in depths for m in mods)
+    if n_have >= 10:
+        md2 = [
+            "",
+            f"## Full arbitrated matrix ({n_have}/15 cells landed)",
+            "",
+            "Identity total %, beam 5 held-out; each cell 'reference fold",
+            "-> arbitrated' (same checkpoint, same reads):",
+            "",
+            "| depths | raw | event | joint |",
+            "|---|---|---|---|",
+        ]
+        for dk in depths:
+            cells = []
+            for m in mods:
+                b = matrix_cell("m2048", dk, m, 5, False)
+                a = matrix_cell("m2048arb", dk, m, 5, False)
+                if a is None or b is None:
+                    cells.append("—")
+                else:
+                    cells.append(f"{b[0]:.1f} -> {a[0]:.1f}")
+            md2.append(f"| {dk} | {' | '.join(cells)} |")
+        deltas = []
+        for dk in depths:
+            for m in mods:
+                b = matrix_cell("m2048", dk, m, 5, False)
+                a = matrix_cell("m2048arb", dk, m, 5, False)
+                if a is not None and b is not None:
+                    deltas.append(a[0] - b[0])
+        if deltas:
+            md2 += ["",
+                    f"Mean delta over {len(deltas)} cells: "
+                    f"**{sum(deltas)/len(deltas):+.2f}** points "
+                    f"(min {min(deltas):+.1f}, max {max(deltas):+.1f}).", ""]
+        md.extend(md2)
+
     md += [
         "",
         "Readings:",
