@@ -151,6 +151,9 @@ def main():
         ("flagship joint (2,1)", 77.9, arb_tag("flagarb", "(2, 1)", "joint")),
         ("ref45 raw (+phase sel)", 98.8, arb_tag("ref45arb", "(2, 1)", "raw")),
         ("ref45 joint (+phase sel)", 98.6, arb_tag("ref45arb", "(2, 1)", "joint")),
+        # measured on the real TPU (bench flagship config, 4-read bench
+        # set, 2026-08-21); the 76.19 baseline is BENCH_DETAILS.json
+        ("bench stream (TPU, i8dev wire)", 76.19, 80.745),
     ]
     have_others = [(l, b, a) for l, b, a in others if a is not None]
     if have_others:
