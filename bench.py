@@ -297,6 +297,8 @@ def run_bench(beam_width: int = 5, chunk_size: int = 4096, with_identity: bool =
             (BENCH_DATA / "map_results.json").read_text())
         details["map_results_sigdev"] = json.loads(
             (BENCH_DATA / "map_results.sigdev.json").read_text())
+        details["map_results_sigdev8"] = json.loads(
+            (BENCH_DATA / "map_results.sigdev8.json").read_text())
 
     return details
 

@@ -437,12 +437,17 @@ namespace {
 // Internal Smith-Waterman-Gotoh core (pairwise2 conventions) returning the
 // full-length gapped pair. Tie-breaking matches the Python oracle exactly
 // (see rv_local_align docs). Returns gapped length, 0 if no positive score.
+// `meta4` (optional): writes {st1, st2, bi, bj} — the aligned block spans
+// s1[st1:bi] and s2[st2:bj] — so callers can reason about alignment
+// geometry (the merge fold's arbitration gate) without re-parsing the
+// gapped strings.
 long local_align_core(const char* s1, long n, const char* s2, long m,
                       double match, double mismatch,
                       double gap_open, double gap_extend,
                       const double* submat,
                       double exp_offset, double offset_w,
-                      std::string& o1, std::string& o2, double* score_out) {
+                      std::string& o1, std::string& o2, double* score_out,
+                      long* meta4 = nullptr) {
   if (n == 0 || m == 0) return 0;
   const bool use_prior = offset_w > 0.0;
   auto restart = [&](long i, long j) -> double {
@@ -546,6 +551,7 @@ long local_align_core(const char* s1, long n, const char* s2, long m,
     }
   }
   long st1 = i, st2 = j;
+  if (meta4) { meta4[0] = st1; meta4[1] = st2; meta4[2] = bi; meta4[3] = bj; }
   std::reverse(c1.begin(), c1.end());
   std::reverse(c2.begin(), c2.end());
   o1.clear(); o2.clear();
@@ -576,12 +582,20 @@ extern "C" {
 // prior anchored at that overlap (see local_align_core) — the fix for
 // period-shifted merges on repetitive sequence. A negative entry disables
 // the prior for that pair.
+// `geom_tol` (>= 0 enables; < 0 reproduces the reference fold exactly):
+// geometry-arbitration gate — a junction alignment is accepted only when
+// the implied overlap start matches the geometric expectation within
+// `geom_tol` bases AND it consumes ~the expected number of shared bases of
+// the appended snippet; otherwise the junction splices geometrically
+// (drop round(expected_overlap) bases of the appended snippet). Mirrors
+// Merger.merge's python gate bit-for-bit (banker's rounding via nearbyint).
 long rv_merge_read(const char* seqs, const long* offsets, const double* logits,
                    long n_snippets,
                    double match, double mismatch,
                    double gap_open, double gap_extend,
                    const double* submat, long overlap_len,
                    const double* exp_overlaps, double offset_w,
+                   double geom_tol,
                    char* out_seq, double* out_logits, long out_cap) {
   if (n_snippets <= 0) return 0;
   std::string merged(seqs + offsets[0], seqs + offsets[1]);
@@ -598,15 +612,37 @@ long rv_merge_read(const char* seqs, const long* offsets, const double* logits,
     const double* l1 = mlog.data() + mlog.size() - ov1;
     double score;
     double w = 0.0, exp_off = 0.0;
-    if (exp_overlaps && offset_w > 0.0 && exp_overlaps[i - 1] >= 0.0) {
+    const bool has_eo = exp_overlaps && exp_overlaps[i - 1] >= 0.0;
+    if (has_eo && offset_w > 0.0) {
       double o = exp_overlaps[i - 1];
       if (o > (double)ov1) o = (double)ov1;
       exp_off = (double)ov1 - o;
       w = offset_w;
     }
+    long meta[4] = {0, 0, 0, 0};
     long glen = local_align_core(s1, ov1, app, ov2, match, mismatch,
                                  gap_open, gap_extend, submat, exp_off, w,
-                                 a1, a2, &score);
+                                 a1, a2, &score, meta);
+    const bool arb = geom_tol >= 0.0 && has_eo;
+    if (glen > 0 && arb) {
+      // aligned block spans s1[st1:bi], s2[st2:bj] (see local_align_core)
+      const double eo_c = std::min(exp_overlaps[i - 1],
+                                   (double)std::min(ov1, ov2));
+      const long implied = ov1 - meta[0];
+      const long consumed2 = meta[3] - meta[1];
+      if (std::abs((double)implied - eo_c) > geom_tol ||
+          (double)consumed2 < eo_c - geom_tol)
+        glen = 0;  // unusable -> geometric splice below
+    }
+    if (glen == 0 && arb) {
+      long k = (long)std::nearbyint(exp_overlaps[i - 1]);
+      if (k > app_len) k = app_len;
+      if (k < 0) k = 0;
+      merged.append(app + k, app + app_len);
+      mlog.insert(mlog.end(), app_log + k, app_log + app_len);
+      merge_flag = true;
+      continue;
+    }
     if (glen == 0) {
       if (!merge_flag) {
         merged.assign(app, app + app_len);

@@ -156,25 +156,33 @@ class Merger:
     the per-base match score so a Δ-base shift (gaining ≤Δ matches on
     periodic sequence) always loses Δ·(weight−match) > 0."""
 
+    DEFAULT_GEOM_ARBITRATION = 4.0
+
     def __init__(self, scores_id: int = 0, use_native: bool = True,
                  offset_prior_weight: float = 1.5,
-                 geom_arbitration: Optional[float] = None) -> None:
+                 geom_arbitration: Optional[float] = DEFAULT_GEOM_ARBITRATION
+                 ) -> None:
         self.scores_id = scores_id
         self.overlap_seq_len = 25
         self._merger = SingleMergerByLogits()
         self.use_native = use_native
         self.offset_prior_weight = offset_prior_weight
-        # geom_arbitration (OFF by default — reference fold parity): accept
-        # a junction alignment only when its implied overlap length is
-        # within this many bases of the geometric expectation; otherwise
-        # splice geometrically at round(expected_overlap). Low-accuracy
-        # snippets (e.g. beam-1 at the 4096 vocab) produce
-        # successful-but-wrong tiny alignments that inflate the merged read
-        # ~2x; arbitration bounds the damage at snippet quality instead of
-        # zero (measured: 4096 beam-1 merged identity 0.0 -> ~0.57). The
-        # soft positional prior remains the primary mechanism — this is a
-        # hard gate for the regime where even the prior-scored alignment is
-        # noise.
+        # geom_arbitration (ON by default since round 5; pass None for
+        # bit-parity with the reference fold, reference merger.py:155-248):
+        # accept a junction alignment only when its implied overlap length
+        # is within this many bases of the geometric expectation AND it
+        # consumes ~the expected shared bases; otherwise splice
+        # geometrically at round(expected_overlap). Low-accuracy snippets
+        # (e.g. beam-1 at the 4096 vocab) produce successful-but-wrong tiny
+        # alignments that inflate the merged read ~2x; arbitration bounds
+        # the damage at snippet quality instead of zero. Flipped to default
+        # after the round-4 study measured improvement in all 15 depth x
+        # modality cells, mean +4.07 points, with the saturated ref45 row
+        # unharmed (results/ARBITRATION.md). The soft positional prior
+        # remains the primary mechanism — this is a hard gate for the
+        # regime where even the prior-scored alignment is noise. Requires
+        # expected_overlaps (snippet raw-span geometry); without them the
+        # fold is identical to the reference fold regardless of this value.
         self.geom_arbitration = geom_arbitration
 
     def _align(self, s1: str, s2: str, expected_overlap: Optional[float] = None
@@ -282,11 +290,7 @@ class Merger:
         the zero-marshalling fast path into the native fold.
         ``expected_overlaps`` (len n-1, from snippet raw-span geometry)
         enables the positional alignment prior."""
-        if (self.use_native and offsets.size > 2
-                and self.geom_arbitration is None):
-            # (arbitration mode runs the python fold with native per-pair
-            # alignments — the whole-fold native kernel implements only the
-            # reference semantics)
+        if self.use_native and offsets.size > 2:
             try:
                 from ravvent_tpu.ops import native
 
@@ -304,7 +308,8 @@ class Merger:
                         overlap_len=self.overlap_seq_len,
                         expected_overlaps=expected_overlaps,
                         offset_weight=self.offset_prior_weight
-                        if expected_overlaps is not None else 0.0, **kw,
+                        if expected_overlaps is not None else 0.0,
+                        geom_arbitration=self.geom_arbitration, **kw,
                     )
                     if out is not None:
                         return SeqLogitsPair(out[0], out[1])
@@ -323,7 +328,7 @@ class Merger:
         """Fold over (seq, per-base-score-array) pairs without building a
         Python SeqLogitsPair per snippet — the native fast path consumes the
         arrays directly (the per-element list conversions cost ~15ms/read)."""
-        if self.use_native and len(seqs) > 1 and self.geom_arbitration is None:
+        if self.use_native and len(seqs) > 1:
             try:
                 from ravvent_tpu.ops import native
 
@@ -341,7 +346,8 @@ class Merger:
                         overlap_len=self.overlap_seq_len,
                         expected_overlaps=expected_overlaps,
                         offset_weight=self.offset_prior_weight
-                        if expected_overlaps is not None else 0.0, **kw,
+                        if expected_overlaps is not None else 0.0,
+                        geom_arbitration=self.geom_arbitration, **kw,
                     )
                     if out is not None:
                         return SeqLogitsPair(out[0], out[1])
@@ -361,8 +367,7 @@ class Merger:
         fold below is the behavior oracle. ``expected_overlaps[i]`` is the
         geometrically expected number of overlapping bases between snippets
         i and i+1 (see merge_flat) — enables the positional prior."""
-        if (self.use_native and len(nuc_pred_snippets) > 1
-                and self.geom_arbitration is None):
+        if self.use_native and len(nuc_pred_snippets) > 1:
             try:
                 from ravvent_tpu.ops import native
 
@@ -377,6 +382,7 @@ class Merger:
                             0.0, 0.0, sc["gap_open"], sc["gap_extend"],
                             self.overlap_seq_len, submat=_submat_array(sc["matrix"]),
                             expected_overlaps=expected_overlaps, offset_weight=w,
+                            geom_arbitration=self.geom_arbitration,
                         )
                     else:
                         out = native.merge_read(
@@ -385,6 +391,7 @@ class Merger:
                             sc["match"], sc["mismatch"], sc["gap_open"],
                             sc["gap_extend"], self.overlap_seq_len,
                             expected_overlaps=expected_overlaps, offset_weight=w,
+                            geom_arbitration=self.geom_arbitration,
                         )
                     if out is not None:
                         return SeqLogitsPair(out[0], out[1])

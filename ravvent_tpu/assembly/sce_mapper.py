@@ -274,7 +274,13 @@ def rescue_map(query: str, ref: str, window: int = RESCUE_WINDOW) -> List[Chain]
     if n == 0 or len(ref) == 0:
         return []
     # DP memory guard: the exact kernel's traceback is window * |ref| bytes;
-    # shrink windows against very long references to stay under ~250MB
+    # shrink windows against very long references to stay under ~250MB.
+    # Below a 256-base window the rescue stage is useless (pieces cannot
+    # clear the score gate) AND the budget would be violated by the floor
+    # (ADVICE r4: a 100Mb reference would need 25GB at window=256) — skip
+    # rescue entirely for references too long to afford a 256-base window.
+    if len(ref) > int(2.5e8) // 256:
+        return []
     window = max(256, min(window, int(2.5e8 / len(ref))))
     # balanced windows: ceil(n/window) pieces of near-equal size (avoids a
     # tiny tail window that cannot clear the score gate)

@@ -52,12 +52,15 @@ class MappingEvaluator:
         cache_dir: Optional[str] = None,
         use_minimap2: Optional[bool] = None,
         wire: str = "compact",
-        geom_arbitration: Optional[float] = None,
+        geom_arbitration="default",
     ) -> None:
-        # geom_arbitration: opt-in merge-fold geometry gate (see
-        # assembly.merger.Merger) — measured +1.7pt identity at 2048 and
-        # 0 -> ~0.55 at 4096 beam-1; default None preserves the reference
-        # fold semantics for the numbers of record.
+        # geom_arbitration: merge-fold geometry gate (see
+        # assembly.merger.Merger). "default" follows the Merger default
+        # (arbitrated fold, the record fold since round 5 — improved all 15
+        # depth x modality cells, mean +4.07 points, results/ARBITRATION.md);
+        # pass None explicitly for bit-parity with the reference fold.
+        if geom_arbitration == "default":
+            geom_arbitration = Merger.DEFAULT_GEOM_ARBITRATION
         self.merger = Merger(scores_id=merger_scores_id,
                              geom_arbitration=geom_arbitration)
         self.stride = stride
@@ -159,6 +162,12 @@ class MappingEvaluator:
         if out is None:
             return None
         tokens, probs = out
+        if tokens.ndim == 3:
+            # engine configured with n_beams>1: the sigdev wire has no raw
+            # ranges on host, so junction-overlap phase selection is
+            # unavailable — take the top beam (ADVICE r4: 3-D tokens would
+            # otherwise crash sequences_to_texts_flat's 2-D offsets cumsum)
+            tokens, probs = tokens[:, 0], np.asarray(probs)[:, 0]
         if tokens.shape[0] == 0:
             return SeqLogitsPair("", [])
         from ravvent_tpu.tokenizer import NUC_TOKENIZER

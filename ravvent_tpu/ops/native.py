@@ -75,7 +75,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_double,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long,
         ]
         lib.rv_banded_global.restype = ctypes.c_int
@@ -212,11 +212,14 @@ def merge_read(
     gap_open: float, gap_extend: float, overlap_len: int = 25,
     submat: Optional[np.ndarray] = None,
     expected_overlaps=None, offset_weight: float = 0.0,
+    geom_arbitration: Optional[float] = None,
 ):
     """Native whole-read overlap merge (reference merger.py:155-248 fold).
     ``seqs``: list[str]; ``logits_list``: list of per-base score lists.
     ``expected_overlaps`` (len n-1) + ``offset_weight`` enable the
     positional prior on each pairwise alignment (periodic-sequence fix).
+    ``geom_arbitration`` (tolerance in bases; None = reference fold) enables
+    the junction geometry gate — see Merger.merge.
     Returns (merged_seq, merged_logits) or None if the library is missing."""
     lib = _load()
     if lib is None:
@@ -245,6 +248,7 @@ def merge_read(
         flat_logits.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         len(seqs), match, mismatch, gap_open, gap_extend, sm, overlap_len,
         eo, float(offset_weight),
+        -1.0 if geom_arbitration is None else float(geom_arbitration),
         out_seq, out_log.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
     )
     del eo_keepalive
@@ -257,6 +261,7 @@ def merge_read_flat(
     gap_open: float, gap_extend: float, overlap_len: int = 25,
     submat: Optional[np.ndarray] = None,
     expected_overlaps=None, offset_weight: float = 0.0,
+    geom_arbitration: Optional[float] = None,
 ):
     """:func:`merge_read` on pre-flattened inputs: ``blob`` is the snippet
     sequences concatenated as ASCII bytes, ``offsets[i]:offsets[i+1]``
@@ -286,6 +291,7 @@ def merge_read_flat(
         flat_logits.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         n_snippets, match, mismatch, gap_open, gap_extend, sm, overlap_len,
         eo, float(offset_weight),
+        -1.0 if geom_arbitration is None else float(geom_arbitration),
         out_seq, out_log.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
     )
     del eo_keepalive

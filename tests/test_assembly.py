@@ -314,7 +314,8 @@ def test_geom_arbitration_rejects_spurious_tiny_alignment():
     p1 = SeqLogitsPair(snip1, [0.9] * len(snip1))
     p2 = SeqLogitsPair(snip2, [0.9] * len(snip2))
 
-    ref_fold = Merger(scores_id=0, use_native=False).merge(
+    ref_fold = Merger(scores_id=0, use_native=False,
+                      geom_arbitration=None).merge(
         [p1, p2], expected_overlaps=np.array([15.0]))
     arb_fold = Merger(scores_id=0, use_native=False,
                       geom_arbitration=4.0).merge(
@@ -342,8 +343,61 @@ def test_geom_arbitration_neutral_on_clean_junctions():
             eos.append(25.0)  # stride 15 -> overlap 25
         s += 15
     pairs = [SeqLogitsPair(x, [0.9] * len(x)) for x in snips]
-    a = Merger(scores_id=0, use_native=False).merge(
+    a = Merger(scores_id=0, use_native=False, geom_arbitration=None).merge(
         pairs, expected_overlaps=np.array(eos))
     b = Merger(scores_id=0, use_native=False, geom_arbitration=4.0).merge(
         pairs, expected_overlaps=np.array(eos))
     assert a.seq == b.seq == core[:len(a.seq)]
+
+
+def _fold_cases(seed: int, n_snips: int = 30, corrupt: float = 0.0):
+    """Snippet chains with known geometry; optional per-base corruption to
+    trigger gate failures / geometric splices."""
+    rng = np.random.default_rng(seed)
+    core = "".join(rng.choice(list("ACGT"), 40 + 15 * n_snips))
+    snips, eos = [], []
+    s = 0
+    while s + 40 <= len(core):
+        x = list(core[s:s + 40])
+        if corrupt > 0:
+            for i in range(len(x)):
+                if rng.random() < corrupt:
+                    x[i] = rng.choice(list("ACGT"))
+        snips.append("".join(x))
+        if s > 0:
+            eos.append(25.0)
+        s += 15
+    logits = [list(np.round(rng.random(len(x)), 3)) for x in snips]
+    return snips, logits, np.array(eos)
+
+
+def test_geom_arbitration_native_python_parity():
+    """The round-5 default flip moved arbitration into the native whole-fold
+    kernel (rv_merge_read geom_tol) — it must be bit-identical to the python
+    arbitrated fold on clean, corrupted (gate-failing), and mixed chains."""
+    from ravvent_tpu.ops import native
+    from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for seed, corrupt in [(0, 0.0), (1, 0.15), (2, 0.35), (3, 0.5)]:
+        snips, logits, eos = _fold_cases(seed, corrupt=corrupt)
+        pairs = [SeqLogitsPair(s, l) for s, l in zip(snips, logits)]
+        py = Merger(use_native=False, geom_arbitration=4.0).merge(
+            pairs, expected_overlaps=eos)
+        nat = Merger(use_native=True, geom_arbitration=4.0).merge(
+            pairs, expected_overlaps=eos)
+        assert py.seq == nat.seq, (seed, corrupt, len(py.seq), len(nat.seq))
+        np.testing.assert_allclose(py.logits, nat.logits)
+
+
+def test_geom_arbitration_is_default():
+    """Round-5 record fold: Merger() defaults to the arbitrated fold
+    (results/ARBITRATION.md: all 15 matrix cells improved, mean +4.07)."""
+    from ravvent_tpu.assembly.merger import Merger
+
+    assert Merger().geom_arbitration == Merger.DEFAULT_GEOM_ARBITRATION
+    assert Merger.DEFAULT_GEOM_ARBITRATION == 4.0
+    assert Merger(geom_arbitration=None).geom_arbitration is None

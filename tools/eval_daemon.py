@@ -67,6 +67,8 @@ def run_job(job: dict) -> bool:
             cmd += ["--n-beams", str(job["n_beams"])]
         if job.get("geom_arbitration"):
             cmd += ["--geom-arbitration", str(job["geom_arbitration"])]
+        if job.get("reference_fold"):
+            cmd += ["--reference-fold"]
         for spec in job["evals"]:
             cmd += ["--eval", spec]
     if BACKEND == "cpu":

@@ -57,7 +57,11 @@ def main():
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--geom-arbitration", type=float, default=None,
                     help="merge-fold geometry gate tolerance in bases "
-                         "(opt-in; see assembly.merger.Merger)")
+                         "(default: the Merger default, arbitrated fold; "
+                         "see assembly.merger.Merger)")
+    ap.add_argument("--reference-fold", action="store_true",
+                    help="disable geometry arbitration: bit-parity with the "
+                         "reference merge fold (the pre-round-5 record fold)")
     ap.add_argument("--n-beams", type=int, default=1,
                     help="fetch the top-K beams per snippet and select by "
                          "junction overlap agreement before merging (phase "
@@ -105,8 +109,11 @@ def main():
     depth_key = f"({args.encoder_depth}, {args.decoder_depth})"
     for beam in beams:
         for tag, files_info, cache in plan:
+            ga = (None if args.reference_fold
+                  else args.geom_arbitration if args.geom_arbitration is not None
+                  else "default")
             ev = MappingEvaluator(engine, beam_width=beam, cache_dir=cache,
-                                  geom_arbitration=args.geom_arbitration)
+                                  geom_arbitration=ga)
             res_path = out_dir / (
                 f"mapping_evaluator_results.{tag}.{args.data_type}."
                 f"encd{args.encoder_depth}.decd{args.decoder_depth}.beam{beam}.json"

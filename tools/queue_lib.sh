@@ -17,7 +17,8 @@ import json, sys
 
 args = sys.argv[1:]
 opt = {"encd": "2", "decd": "1", "rnn": "bilstm", "beams": "5,1",
-       "n_beams": None, "geom_arbitration": None,
+       "n_beams": None, "geom_arbitration": None, "reference_fold": False,
+       "round": None,
        "token": False, "token_only": False, "cross": True}
 i = 0
 while i < len(args):
@@ -28,6 +29,8 @@ while i < len(args):
         opt["token"] = opt["token_only"] = True; i += 1; continue
     if a == "--no-cross":
         opt["cross"] = False; i += 1; continue
+    if a == "--reference-fold":
+        opt["reference_fold"] = True; i += 1; continue
     key = a.lstrip("-").replace("-", "_")
     opt[key] = args[i + 1]
     i += 2
@@ -42,6 +45,11 @@ if opt["n_beams"]:
     base["n_beams"] = int(opt["n_beams"])
 if opt["geom_arbitration"]:
     base["geom_arbitration"] = float(opt["geom_arbitration"])
+if opt["reference_fold"]:
+    base["reference_fold"] = True
+if opt["round"]:  # salt: changes the manifest-line hash so an identical
+    base["round"] = int(opt["round"])  # job can be re-run in a later round
+
 import os
 manifest = os.environ.get("EVAL_MANIFEST", "runs/eval_manifest.jsonl")
 with open(manifest, "a") as f:

@@ -70,6 +70,17 @@ def main():
                     help="params checkpoint to warm-start stage 1 from")
     ap.add_argument("--skip-stages", type=int, default=0,
                     help="skip the first N stages (resume with --init-from)")
+    ap.add_argument("--restart-below", type=float, default=None,
+                    help="bad-basin restart rule (VERDICT r4 item 3): if the "
+                         "final stage-1 (teacher-forced) epoch's TRAIN acc is "
+                         "below this, restart the whole curriculum with "
+                         "seed+1. Deterministic and uniform — the committed "
+                         "(3,2)-event curves give the discriminator (bad "
+                         "basin 0.819 vs healthy 0.885 at stage-1 end; "
+                         "runs/m3.event.d32*). 0.85 is the documented "
+                         "threshold for the 2048-vocab matrix protocol.")
+    ap.add_argument("--max-restarts", type=int, default=2,
+                    help="max bad-basin restarts before accepting the run")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -112,45 +123,76 @@ def main():
             init.name, template=template)["params"]
         print(f"warm-started from {init}", flush=True)
 
-    epoch_ckpts = []  # (global_epoch, checkpoint_path)
-    history_all = []
-    epoch_base = 0
+    warm_params = params  # --init-from snapshot for bad-basin restarts
+    restart_log = []
     t_start = time.time()
-    for si, (tf, lr, n_epochs, spe) in enumerate(stages):
-        if si < args.skip_stages:
-            epoch_base += n_epochs
-            continue
-        cfg = RunConfig(
-            data=dcfg, model=mcfg,
-            train=TrainConfig(
-                teacher_forcing=tf, learning_rate=lr, batch_size=args.batch_size,
+    for attempt in range(max(0, args.max_restarts) + 1):
+        seed = args.seed + attempt
+        params = warm_params
+        opt_state = rng = None
+        epoch_ckpts = []  # (global_epoch, checkpoint_path)
+        history_all = []
+        epoch_base = 0
+        restarted = False
+        for si, (tf, lr, n_epochs, spe) in enumerate(stages):
+            if si < args.skip_stages:
+                epoch_base += n_epochs
+                continue
+            cfg = RunConfig(
+                data=dcfg, model=mcfg,
+                train=TrainConfig(
+                    teacher_forcing=tf, learning_rate=lr, batch_size=args.batch_size,
+                    epochs=epoch_base + n_epochs, steps_per_epoch=spe,
+                    validation_steps=8, random_seed=seed,
+                    dataset_tag=args.tag, checkpoint_dir=str(workdir),
+                    info_dir=str(workdir),
+                ),
+            )
+            trainer = Trainer(cfg)
+            if params is not None:
+                trainer.params = params
+            if opt_state is not None:
+                trainer.opt_state = opt_state  # carry Adam moments across stages
+            if rng is not None:
+                trainer.rng = rng
+            print(f"--- stage {si + 1}/{len(stages)}: tf={tf} lr={lr} "
+                  f"{n_epochs}x{spe} (seed {seed}) ---", flush=True)
+            hist = trainer.fit(
+                gen, val_gen,
                 epochs=epoch_base + n_epochs, steps_per_epoch=spe,
-                validation_steps=8, random_seed=args.seed,
-                dataset_tag=args.tag, checkpoint_dir=str(workdir),
-                info_dir=str(workdir),
-            ),
-        )
-        trainer = Trainer(cfg)
-        if params is not None:
-            trainer.params = params
-        if opt_state is not None:
-            trainer.opt_state = opt_state  # carry Adam moments across stages
-        if rng is not None:
-            trainer.rng = rng
-        print(f"--- stage {si + 1}/{len(stages)}: tf={tf} lr={lr} "
-              f"{n_epochs}x{spe} ---", flush=True)
-        hist = trainer.fit(
-            gen, val_gen,
-            epochs=epoch_base + n_epochs, steps_per_epoch=spe,
-            validation_steps=8, initial_epoch=epoch_base,
-            csv_log_path=str(workdir / f"csvlog.{cfg.run_name}.log"),
-            checkpoint_manager=cm,
-        )
-        history_all.append({"stage": si, "tf": tf, "lr": lr, **hist})
-        for e in range(epoch_base + 1, epoch_base + n_epochs + 1):
-            epoch_ckpts.append((e, cfg.checkpoint_path(e)))
-        params, opt_state, rng = trainer.params, trainer.opt_state, trainer.rng
-        epoch_base += n_epochs
+                validation_steps=8, initial_epoch=epoch_base,
+                csv_log_path=str(workdir / f"csvlog.{cfg.run_name}.log"),
+                checkpoint_manager=cm,
+            )
+            history_all.append({"stage": si, "tf": tf, "lr": lr, **hist})
+            for e in range(epoch_base + 1, epoch_base + n_epochs + 1):
+                epoch_ckpts.append((e, cfg.checkpoint_path(e)))
+            params, opt_state, rng = trainer.params, trainer.opt_state, trainer.rng
+            epoch_base += n_epochs
+
+            # bad-basin restart rule: checked once, at the end of the first
+            # trained stage (the tf=1.0 pretrain) — slow progress there is
+            # the committed discriminator for the basin, before any
+            # scheduled-sampling stage can mask it
+            if (si == args.skip_stages and args.restart_below is not None
+                    and attempt < args.max_restarts):
+                s1_acc = float(hist["acc"][-1]) if hist.get("acc") else 0.0
+                fired = s1_acc < args.restart_below
+                restart_log.append({
+                    "attempt": attempt, "seed": seed,
+                    "stage1_final_train_acc": round(s1_acc, 4),
+                    "threshold": args.restart_below, "restarted": fired,
+                })
+                (workdir / "restart_log.json").write_text(
+                    json.dumps(restart_log, indent=2))
+                if fired:
+                    print(f"RESTART: stage-1 train acc {s1_acc:.3f} < "
+                          f"{args.restart_below} (bad basin); retrying with "
+                          f"seed {seed + 1}", flush=True)
+                    restarted = True
+                    break
+        if not restarted:
+            break
 
     print(f"training done in {time.time() - t_start:.0f}s", flush=True)
 
@@ -179,6 +221,8 @@ def main():
     summary = {
         "name": name,
         "stages": stages,
+        "seed": seed,
+        "restarts": restart_log,
         "history": history_all,
         "epoch_sweep": sweep_rows,
         "best_epoch": best[0] if best else None,
