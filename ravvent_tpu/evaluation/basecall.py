@@ -1054,6 +1054,10 @@ class BasecallEngine:
             self._put(buf), S_b=S_b, E_b=E_b, N_max=N_max, stride=stride,
             sig_wire=sig_wire)
         meta.copy_to_host_async()
+        # snippet raw ranges ride home alongside the meta (~N_max*8 bytes,
+        # async): they give the merge fold its positional prior + geometry
+        # arbitration — without them the sigdev merge ran prior-less
+        rr.copy_to_host_async()
         return (sig, feats, rr, er, meta, E_b)
 
     def finish_beam_signal(
@@ -1125,15 +1129,27 @@ class BasecallEngine:
         beam_width: int = 5,
         stride: int = 6,
         sig_wire: str = "i16",
-    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        return_ranges: bool = False,
+    ) -> Optional[Tuple[np.ndarray, ...]]:
         """Raw signal in, per-snippet (tokens, step probs) out — the whole
         front half (segmentation -> features -> snippets) on device. None on
-        segmentation-buffer overflow (use the host compact path then)."""
-        h = self.dispatch_beam_signal(raw_signal, max_output_len, beam_width,
-                                      stride, sig_wire=sig_wire)
+        segmentation-buffer overflow (use the host compact path then).
+        ``return_ranges`` appends the device-computed snippet raw ranges
+        ([n_snip, 2] sample indices, or None for an empty read) — the
+        merge fold's positional-prior/arbitration geometry."""
+        seg = self.begin_beam_signal(raw_signal, stride, sig_wire=sig_wire)
+        h = self.finish_beam_signal(seg, max_output_len, beam_width)
         if h is None:
             return None
-        return self.collect_beam_compact(h)
+        tokens, probs = self.collect_beam_compact(h)
+        if not return_ranges:
+            return tokens, probs
+        rr_host = None
+        if not isinstance(seg, PendingBeamCompact):
+            _, _, rr, _, meta, _ = seg
+            n_snip = int(np.asarray(meta)[1])
+            rr_host = np.asarray(rr)[:n_snip]
+        return tokens, probs, rr_host
 
     def _pad_chunk(self, arr: np.ndarray) -> Tuple[np.ndarray, int]:
         n = arr.shape[0]

@@ -158,10 +158,11 @@ class MappingEvaluator:
                 max_output_len = int((nuc != 0).sum(axis=1).max())
         out = self.engine.predict_beam_signal(
             raw, max_output_len=max_output_len, beam_width=self.beam_width,
-            stride=self.stride, sig_wire=getattr(self, "sig_wire", "i16"))
+            stride=self.stride, sig_wire=getattr(self, "sig_wire", "i16"),
+            return_ranges=True)
         if out is None:
             return None
-        tokens, probs = out
+        tokens, probs, rr_dev = out
         if tokens.ndim == 3:
             # engine configured with n_beams>1: the sigdev wire has no raw
             # ranges on host, so junction-overlap phase selection is
@@ -176,7 +177,15 @@ class MappingEvaluator:
         probs = np.asarray(probs, dtype=np.float64)
         counts = np.diff(offsets)
         prefix = np.arange(probs.shape[1])[None, :] < counts[:, None]
-        return self.merger.merge_flat(blob, offsets, probs[prefix])
+        # device-computed snippet ranges give the label-free wire the same
+        # positional prior + geometry arbitration as the compact path
+        from ravvent_tpu.assembly.merger import expected_overlaps_from_ranges
+
+        eo = (expected_overlaps_from_ranges(rr_dev, counts)
+              if rr_dev is not None and rr_dev.shape[0] > 1
+              and rr_dev.shape[0] == counts.shape[0] else None)
+        return self.merger.merge_flat(blob, offsets, probs[prefix],
+                                      expected_overlaps=eo)
 
     def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:
         """Per-read identity (reference: ravvent_mapping_evaluator.py:31-72)."""

@@ -167,7 +167,8 @@ class PerformanceEvaluator:
                 t2 = timer()
                 add_stage("postproc", t2 - t1)
                 eo = (expected_overlaps_from_ranges(rr_h, np.diff(offsets))
-                      if rr_h is not None and rr_h.shape[0] > 1 else None)
+                      if rr_h is not None and rr_h.shape[0] > 1
+                      and rr_h.shape[0] == offsets.size - 1 else None)
                 self.merger.merge_flat(blob, offsets, flat_probs,
                                        expected_overlaps=eo)
                 add_stage("merge", timer() - t2)
@@ -185,7 +186,13 @@ class PerformanceEvaluator:
             add_stage("dispatch", timer() - t1)
             if handle is None:  # segmentation overflow: host path
                 handle = self._dispatch_compact(path, label_path)
-            pending.append(pool.submit(finish, handle, None))
+                pending.append(pool.submit(finish, handle, None))
+                return
+            rr_h = None
+            if isinstance(seg, tuple) and len(seg) == 6:
+                n_snip = int(np.asarray(seg[4])[1])
+                rr_h = np.asarray(seg[2])[:n_snip]  # async copy, arrived
+            pending.append(pool.submit(finish, handle, rr_h))
 
         with ThreadPoolExecutor(max_workers=max(1, finishers)) as pool:
             for path in signal_paths:

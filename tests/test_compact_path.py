@@ -353,14 +353,21 @@ def test_pipelined_sigdev_matches_sequential(tmp_path):
         return orig, wrapped
 
     # sequential sigdev reference (run() is the compact-path reference
-    # timing contract, so build the sigdev baseline from the engine API)
+    # timing contract, so build the sigdev baseline from the engine API);
+    # uses the device snippet ranges like the pipelined path — the sigdev
+    # merge carries the positional prior since round 5
+    from ravvent_tpu.assembly.merger import expected_overlaps_from_ranges
+
     seq_sequential = []
     for p in paths:
-        h = engine.dispatch_beam_signal(chiron.load_signal(p), beam_width=3)
-        tokens, probs = engine.collect_beam_compact(h)
+        tokens, probs, rr_h = engine.predict_beam_signal(
+            chiron.load_signal(p), beam_width=3, return_ranges=True)
         blob, offsets, flat_probs = pe._postprocess(tokens, probs)
+        eo = (expected_overlaps_from_ranges(rr_h, np.diff(offsets))
+              if rr_h is not None and rr_h.shape[0] > 1 else None)
         seq_sequential.append(
-            pe.merger.merge_flat(blob, offsets, flat_probs).seq)
+            pe.merger.merge_flat(blob, offsets, flat_probs,
+                                 expected_overlaps=eo).seq)
 
     seq_pipelined = []
     orig, pe.merger.merge_flat = capturing(seq_pipelined)

@@ -256,3 +256,15 @@ def test_sigdev_end_to_end_decode_runs():
     tokens, probs = out
     assert tokens.shape[0] > 10
     assert tokens.shape == probs.shape
+
+    # return_ranges: same decode plus the device snippet raw ranges — one
+    # [start, end) sample span per token row, monotonically advancing
+    # (feeds the merge fold's positional prior on the label-free wire)
+    out2 = eng.predict_beam_signal(raw, max_output_len=32, beam_width=2,
+                                   return_ranges=True)
+    t2, p2, rr = out2
+    np.testing.assert_array_equal(t2, tokens)
+    assert rr is not None and rr.shape == (tokens.shape[0], 2)
+    assert np.all(rr[:, 1] > rr[:, 0])
+    assert np.all(np.diff(rr[:, 0]) > 0)
+    assert rr[:, 1].max() <= raw.size
