@@ -656,6 +656,7 @@ long rv_merge_read(const char* seqs, const long* offsets, const double* logits,
     // gap-align logits and resolve columns by higher score
     std::string mseq;
     std::vector<double> mlg;
+    std::vector<long> gapcols;  // columns only one window voted for
     mseq.reserve(glen);
     mlg.reserve(glen);
     long i1 = 0, i2 = 0;
@@ -663,10 +664,37 @@ long rv_merge_read(const char* seqs, const long* offsets, const double* logits,
       char n1 = a1[k], n2 = a2[k];
       double g1 = (n1 == '-') ? -1.0 : l1[i1++];
       double g2 = (n2 == '-') ? -1.0 : app_log[i2++];
+      if (n1 == '-' || n2 == '-') gapcols.push_back(k);
       if (n1 == '-') { mseq.push_back(n2); mlg.push_back(g2); }
       else if (n2 == '-') { mseq.push_back(n1); mlg.push_back(g1); }
       else if (g2 > g1) { mseq.push_back(n2); mlg.push_back(g2); }
       else { mseq.push_back(n1); mlg.push_back(g1); }
+    }
+    if (arb && !gapcols.empty()) {
+      // Length-constrained splice (mirrors Merger.merge, incl. the 1-column
+      // TRIM_SLACK): geometry fixes the junction's true length at
+      // ov1+ov2-round(overlap); drop the lowest-scoring gap-column bases
+      // until the union is within the slack of it.
+      const long kTrimSlack = 1;
+      const double eo_c = std::min(exp_overlaps[i - 1],
+                                   (double)std::min(ov1, ov2));
+      const long target = ov1 + ov2 - (long)std::nearbyint(eo_c);
+      long excess = (long)mseq.size() - target - kTrimSlack;
+      if (excess > 0) {
+        if (excess > (long)gapcols.size()) excess = (long)gapcols.size();
+        std::stable_sort(gapcols.begin(), gapcols.end(),
+                         [&](long x, long y) { return mlg[x] < mlg[y]; });
+        std::vector<char> dropm(mseq.size(), 0);
+        for (long k = 0; k < excess; ++k) dropm[gapcols[k]] = 1;
+        std::string so;
+        std::vector<double> lo;
+        so.reserve(mseq.size());
+        lo.reserve(mseq.size());
+        for (size_t k = 0; k < mseq.size(); ++k)
+          if (!dropm[k]) { so.push_back(mseq[k]); lo.push_back(mlg[k]); }
+        mseq.swap(so);
+        mlg.swap(lo);
+      }
     }
     merged.resize(merged.size() - ov1);
     mlog.resize(mlog.size() - ov1);

@@ -157,6 +157,9 @@ class Merger:
     periodic sequence) always loses Δ·(weight−match) > 0."""
 
     DEFAULT_GEOM_ARBITRATION = 4.0
+    # length-constrained splice slack (columns tolerated beyond the
+    # geometric junction length before gap-column trimming) — see merge()
+    TRIM_SLACK = 1
 
     def __init__(self, scores_id: int = 0, use_native: bool = True,
                  offset_prior_weight: float = 1.5,
@@ -459,6 +462,38 @@ class Merger:
                 SeqLogitsPair(seq1_gapped, logits1_gapped),
                 SeqLogitsPair(seq2_gapped, logits2_gapped),
             )
+            if self.geom_arbitration is not None and eo is not None:
+                # Length-constrained splice (round 5): the union keeps every
+                # gap-column base from BOTH windows, so each junction adds
+                # ~2-3 inserted bases at realistic snippet accuracy — the
+                # merged read compounds ~8-11% over-length and the mapper
+                # charges every insertion. Geometry fixes the junction's true
+                # length (|s1|+|s2|-round(overlap)); drop the lowest-scoring
+                # gap-column bases (the columns only one window voted for)
+                # until the splice is within TRIM_SLACK of it. The 1-column
+                # slack tolerates a real single-indel decode difference (the
+                # raw-span overlap estimate is itself ±1-2 bases); without it
+                # the near-saturated periodic row over-trims real bases
+                # (ref45 98.2->95.8 measured at slack 0). Measured on (3,1)
+                # raw at slack 1: beam-5 92.3->94.7, beam-1 88.8->92.7,
+                # beam5-beam1 delta 3.5->2.0, ref45 98.2->98.3 (no harm).
+                gapcols = [j for j, (a, b)
+                           in enumerate(zip(seq1_gapped, seq2_gapped))
+                           if a == "-" or b == "-"]
+                eo_c = min(eo, float(len(seq1_overlap)),
+                           float(len(seq2_overlap)))
+                target = (len(seq1_overlap) + len(seq2_overlap)
+                          - int(round(eo_c)))
+                excess = len(merged.seq) - target - self.TRIM_SLACK
+                if excess > 0 and gapcols:
+                    drop = set(sorted(gapcols,
+                                      key=lambda j: merged.logits[j])[:excess])
+                    merged = SeqLogitsPair(
+                        "".join(c for j, c in enumerate(merged.seq)
+                                if j not in drop),
+                        [v for j, v in enumerate(merged.logits)
+                         if j not in drop],
+                    )
             seq_merged = (
                 seq_merged[: -self.overlap_seq_len] + merged.seq
                 + seq_appended[self.overlap_seq_len :]

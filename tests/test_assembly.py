@@ -393,6 +393,40 @@ def test_geom_arbitration_native_python_parity():
         np.testing.assert_allclose(py.logits, nat.logits)
 
 
+def test_length_constrained_splice_trims_inflation():
+    """The arbitrated fold's union splice must not inflate the merged read
+    beyond the geometric junction length + TRIM_SLACK: spurious junction
+    disagreements (substitution shown as a del+ins gap pair) are trimmed,
+    while the reference fold (geom_arbitration=None) keeps the union."""
+    from ravvent_tpu.assembly.merger import Merger, SeqLogitsPair
+
+    rng = np.random.default_rng(11)
+    core = "".join(rng.choice(list("ACGT"), 200))
+    snips, eos = [], []
+    s = 0
+    while s + 40 <= len(core):
+        x = list(core[s:s + 40])
+        # corrupt ~15% of bases -> junction windows disagree -> gap pairs
+        for i in range(len(x)):
+            if rng.random() < 0.15:
+                x[i] = rng.choice(list("ACGT"))
+        snips.append("".join(x))
+        if s > 0:
+            eos.append(25.0)
+        s += 15
+    pairs = [SeqLogitsPair(x, list(np.round(rng.random(len(x)), 3)))
+             for x in snips]
+    true_len = 40 + 15 * (len(snips) - 1)
+    ref = Merger(use_native=False, geom_arbitration=None).merge(
+        pairs, expected_overlaps=np.array(eos))
+    arb = Merger(use_native=False).merge(
+        pairs, expected_overlaps=np.array(eos))
+    # union inflates; the trimmed fold stays within slack of geometry
+    assert len(ref.seq) > true_len + len(eos) // 2
+    assert len(arb.seq) <= true_len + Merger.TRIM_SLACK * len(eos)
+    assert len(arb.seq) < len(ref.seq)
+
+
 def test_geom_arbitration_is_default():
     """Round-5 record fold: Merger() defaults to the arbitrated fold
     (results/ARBITRATION.md: all 15 matrix cells improved, mean +4.07)."""
