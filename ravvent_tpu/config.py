@@ -15,8 +15,17 @@ from typing import Optional, Tuple
 
 
 # Data-shape constants (reference: data_loader.py:12-17).
-ED_WINDOW_LENGTH_1 = 6
-ED_WINDOW_LENGTH_2 = 9
+# The event-detector windows are overridable per process (RAVVENT_ED_W1/W2)
+# for per-noise-rung re-fits: on the simulator's noisy rung the default 6/9
+# misses ~19% of true base boundaries at +-2 samples while 4/8 recovers
+# recall to ~0.91 at the cost of over-segmentation (1.34 events/base) —
+# see docs/TRAINING.md (joint-vs-raw investigation). Callers overriding the
+# windows must use a dedicated snippet cache dir: the .npz cache is not
+# keyed by the detector config.
+import os as _os
+
+ED_WINDOW_LENGTH_1 = int(_os.environ.get("RAVVENT_ED_W1", 6))
+ED_WINDOW_LENGTH_2 = int(_os.environ.get("RAVVENT_ED_W2", 9))
 INPUT_PADDING = 0.0
 MAX_RAW_LEN = 200
 MAX_EVENT_LEN = 30

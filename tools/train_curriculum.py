@@ -64,6 +64,11 @@ def main():
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--workdir", default=None,
                     help="checkpoint/log root (default runs/<tag>.<type>...)")
+    ap.add_argument("--cache-dir", default=None,
+                    help="snippet cache dir (default <dataset>/.cache). Use "
+                         "a dedicated dir when overriding the event-detector "
+                         "config (RAVVENT_ED_W1/W2) — the cache is not keyed "
+                         "by it")
     ap.add_argument("--export", default=None,
                     help="export the identity-best params here")
     ap.add_argument("--init-from", default=None,
@@ -103,7 +108,7 @@ def main():
     workdir = Path(args.workdir or f"runs/{name}")
     workdir.mkdir(parents=True, exist_ok=True)
 
-    cache = str(ds / ".cache")
+    cache = args.cache_dir or str(ds / ".cache")
     fi_train = ds / "train" / "files_info.snippets.stride_6.json"
     fi_val = ds / "eval" / "files_info.val.snippets.stride_6.json"
     dcfg = DataConfig(batch_size=args.batch_size)
