@@ -698,6 +698,69 @@ class BasecallEngine:
             _segment,
             static_argnames=("S_b", "E_b", "N_max", "stride", "sig_wire"))
 
+        def _segment_batch(buf, S_b, E_b, N_max, stride, sig_wire="i16"):
+            # K reads' sigdev front half in ONE dispatch (ledger entry 24):
+            # on a remote-attached device the per-read put + program-call
+            # latency dominates the (microsecond) segmentation compute, so
+            # the pipeline batches K uploads/dispatches into one. buf is
+            # [K, 32 + payload]; rows mirror _segment's single-read layout.
+            # Peak-scan coupling verification stays ONE batch-level cond
+            # (vmapping the cond would execute the 160k-step sequential
+            # fallback for every read as a select branch).
+            from ravvent_tpu.ops.event_detect import (
+                detect_boundaries_device, fired_to_event_lens,
+            )
+
+            K = buf.shape[0]
+            hdr = jax.lax.bitcast_convert_type(
+                buf[:, :32].reshape(K, 8, 4), jnp.float32)  # [K, 8]
+            n_s = jax.lax.bitcast_convert_type(
+                buf[:, 8:12].reshape(K, 1, 4), jnp.int32)[:, 0]  # [K]
+            if sig_wire == "u8":
+                raw = (buf[:, 32 : 32 + S_b].astype(jnp.float32)
+                       * hdr[:, 4:5] + hdr[:, 3:4])
+            else:
+                raw = jax.lax.bitcast_convert_type(
+                    buf[:, 32 : 32 + S_b * 2].reshape(K, S_b, 2), jnp.int16
+                ).astype(jnp.float32)
+            fired = detect_boundaries_device(raw, n_valid=n_s, block=512)
+            lens, n_ev, n_true = jax.vmap(
+                lambda f: fired_to_event_lens(f, 6, 9, E_b))(fired)
+            sig = (raw - hdr[:, 0:1]) / hdr[:, 1:2]
+            sig = jnp.where(jnp.arange(S_b)[None, :] < n_s[:, None], sig, 0.0)
+            feats = jax.vmap(
+                lambda s, l, n, m, sd: _device_event_features_selfscaled(
+                    s, l, n, rm=m, rs=sd)
+            )(sig, lens, n_ev, hdr[:, 0], hdr[:, 1])
+            n_snip = jax.vmap(
+                lambda l, n: _device_snippet_count(l, n, N_max, stride)
+            )(lens, n_ev)
+            rr, er = jax.vmap(
+                lambda l, ns_, n: _device_snippet_ranges(l, ns_, n, N_max,
+                                                         stride)
+            )(lens, n_snip, n_ev)
+            meta = jnp.stack([n_true, n_snip], axis=1)  # [K, 2]
+            return sig, feats, rr, er, meta
+
+        self._segment_batch_jit = jax.jit(
+            _segment_batch,
+            static_argnames=("S_b", "E_b", "N_max", "stride", "sig_wire"))
+
+        def _slab_slice_batch(sigB, featsB, rrB, erB, k, start, slab,
+                              max_steps, beam_width, T_out):
+            # slab decode over row k of the batched segmentation arrays —
+            # no per-read row-extract dispatch
+            sig = jax.lax.dynamic_index_in_dim(sigB, k, 0, keepdims=False)
+            feats = jax.lax.dynamic_index_in_dim(featsB, k, 0, keepdims=False)
+            rr_s = jax.lax.dynamic_slice(rrB, (k, start, 0), (1, slab, 2))[0]
+            er_s = jax.lax.dynamic_slice(erB, (k, start, 0), (1, slab, 2))[0]
+            return _beam_compact(self.params, sig, rr_s, feats, er_s,
+                                 max_steps, beam_width, T_out=T_out)
+
+        self._slab_slice_batch_jit = jax.jit(
+            _slab_slice_batch,
+            static_argnames=("slab", "beam_width", "T_out"))
+
         def _slab_slice(sig, feats, rr, er, start, slab, max_steps, beam_width,
                         T_out):
             rr_s = jax.lax.dynamic_slice(rr, (start, 0), (slab, 2))
@@ -1060,6 +1123,68 @@ class BasecallEngine:
         rr.copy_to_host_async()
         return (sig, feats, rr, er, meta, E_b)
 
+    def begin_beam_signal_batch(
+        self,
+        raw_signals,
+        stride: int = 6,
+        sig_wire: str = "i16",
+    ):
+        """K reads' signal-only dispatch as ONE upload + ONE segmentation
+        program (padded to the max bucket). On a remote-attached device the
+        per-read put/program-call latency dominates the segmentation
+        compute (docs/PERFORMANCE.md entries 23-24), so pipelined callers
+        batch it away. Returns a list of K handles for
+        :meth:`finish_beam_signal` (empty reads get the empty handle)."""
+        assert sig_wire in ("i16", "u8")
+        raws = [np.asarray(r) for r in raw_signals]
+        ns = [int(r.size) for r in raws]
+        K = len(raws)
+        if K == 0:
+            return []
+        if max(ns) == 0:
+            return [PendingBeamCompact([], self.total_steps, 1)] * K
+        S_b = self._bucket(max(ns), 65536)
+        E_b = S_b // 2
+        N_max = E_b // stride + 1 + self.chunk_size
+        item = 1 if sig_wire == "u8" else 2
+        buf = np.zeros((K, 32 + S_b * item), np.uint8)
+        for i, raw in enumerate(raws):
+            n_s = ns[i]
+            if n_s == 0:
+                continue
+            hdr = np.zeros(8, np.float32)
+            hdr[2:3].view(np.int32)[0] = n_s
+            if sig_wire == "u8":
+                rf = raw.astype(np.float64)
+                lo, hi = float(rf.min()), float(rf.max())
+                step = max((hi - lo) / 255.0, 1e-12)
+                q = np.round((rf - lo) / step)
+                deq = q * step + lo
+                hdr[3], hdr[4] = lo, step
+                hdr[0] = float(deq.mean())
+                rstd = float(deq.std())
+                hdr[1] = rstd if rstd != 0.0 else 1.0
+                buf[i, :32] = hdr.view(np.uint8)
+                buf[i, 32 : 32 + n_s] = q.astype(np.uint8)
+            else:
+                rmean = float(raw.astype(np.float64).mean())
+                rstd = float(raw.astype(np.float64).std())
+                hdr[0] = rmean
+                hdr[1] = rstd if rstd != 0.0 else 1.0
+                buf[i, :32] = hdr.view(np.uint8)
+                buf[i, 32 : 32 + n_s * 2] = (
+                    raw.astype(np.int16).view(np.uint8).reshape(-1))
+        sigB, featsB, rrB, erB, metaB = self._segment_batch_jit(
+            self._put(buf), S_b=S_b, E_b=E_b, N_max=N_max, stride=stride,
+            sig_wire=sig_wire)
+        metaB.copy_to_host_async()
+        rrB.copy_to_host_async()
+        return [
+            (sigB, featsB, rrB, erB, metaB, E_b, k) if ns[k]
+            else PendingBeamCompact([], self.total_steps, 1)
+            for k in range(K)
+        ]
+
     def finish_beam_signal(
         self,
         seg,
@@ -1073,10 +1198,15 @@ class BasecallEngine:
         overflow (fall back to the host compact path)."""
         if isinstance(seg, PendingBeamCompact):  # empty read passthrough
             return seg
-        sig, feats, rr, er, meta, E_b = seg
+        batched = len(seg) == 7
+        if batched:
+            sig, feats, rr, er, metaB, E_b, k = seg
+            n_true, n_snip = (int(v) for v in np.asarray(metaB)[k])
+        else:
+            sig, feats, rr, er, meta, E_b = seg
+            n_true, n_snip = (int(v) for v in np.asarray(meta))
         if max_output_len is None:
             max_output_len = self.total_steps + 1
-        n_true, n_snip = (int(v) for v in np.asarray(meta))
         if n_true > E_b:  # segmentation buffer overflow: caller falls back
             return None
         if n_snip == 0:
@@ -1097,10 +1227,17 @@ class BasecallEngine:
             slab = min((z for z in sizes if z >= rem), default=sizes[0])
             # slab starts repeat across reads (0, 1024, ...): reuse the
             # cached device scalars so no 4-byte upload pays link latency
-            packed = self._slab_slice_jit(
-                sig, feats, rr, er, self._ms_scalar(s), slab, ms,
-                beam_width=beam_width, T_out=T_fetch,
-            )
+            if batched:
+                packed = self._slab_slice_batch_jit(
+                    sig, feats, rr, er, self._ms_scalar(k),
+                    self._ms_scalar(s), slab, ms,
+                    beam_width=beam_width, T_out=T_fetch,
+                )
+            else:
+                packed = self._slab_slice_jit(
+                    sig, feats, rr, er, self._ms_scalar(s), slab, ms,
+                    beam_width=beam_width, T_out=T_fetch,
+                )
             packed.copy_to_host_async()
             pending.append((packed, min(slab, rem)))
             s += slab

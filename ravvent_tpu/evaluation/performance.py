@@ -123,7 +123,8 @@ class PerformanceEvaluator:
         return blob, offsets, flat_probs
 
     def run_pipelined(self, signal_paths, chunk_size: int = 1024,
-                      inflight: int = 8, finishers: int = 4) -> Dict:
+                      inflight: int = 8, finishers: int = 4,
+                      seg_batch: int = 1) -> Dict:
         """Process a list of reads as a pipeline: the main thread loads and
         dispatches read k+1 while read k computes on the device and a small
         completion pool fetches/postprocesses/merges finished reads. Reads
@@ -176,6 +177,7 @@ class PerformanceEvaluator:
         start_all = timer()
         pending = deque()
         seg_q = deque()  # sigdev: segmentations whose meta is still in flight
+        raw_q = []  # sigdev: reads awaiting a batched segmentation dispatch
 
         def finish_seg(seg, path, label_path):
             # complete a deferred sigdev dispatch (meta has had a read's
@@ -192,6 +194,10 @@ class PerformanceEvaluator:
             if isinstance(seg, tuple) and len(seg) == 6:
                 n_snip = int(np.asarray(seg[4])[1])
                 rr_h = np.asarray(seg[2])[:n_snip]  # async copy, arrived
+            elif isinstance(seg, tuple) and len(seg) == 7:  # batched row
+                k = seg[6]
+                n_snip = int(np.asarray(seg[4])[k][1])
+                rr_h = np.asarray(seg[2])[k][:n_snip]
             pending.append(pool.submit(finish, handle, rr_h))
 
         with ThreadPoolExecutor(max_workers=max(1, finishers)) as pool:
@@ -203,17 +209,32 @@ class PerformanceEvaluator:
                     ranges, _ = chiron.load_label(label_path)
                     bases_num += int(ranges.shape[0])
                     samples_num += int(raw.size)
-                    t1 = timer()
-                    stages["load"] += t1 - t0
-                    seg = self.engine.begin_beam_signal(
-                        raw, stride=self.stride, sig_wire=self.sig_wire)
-                    stages["dispatch"] += timer() - t1
-                    seg_q.append((seg, path, label_path))
-                    # one-read lag hides the meta link round-trip; deeper
-                    # lag was measured neutral (the residual finish wait is
-                    # the segmentation program's own device time queued
-                    # behind other reads' decode — device-compute-bound)
-                    if len(seg_q) >= 2:
+                    stages["load"] += timer() - t0
+                    # seg_batch>1 batches K reads' segmentation into ONE
+                    # upload + ONE program call (engine
+                    # begin_beam_signal_batch, bit-parity-tested). Measured
+                    # on the bench tunnel it LOSES (261k -> 217-239k
+                    # bases/s): padding every read to the batch-max bucket
+                    # and the delayed pipeline start outweigh the saved
+                    # call overhead, and the remaining dispatch stage time
+                    # is host CPU/GIL contention with the finisher threads
+                    # rather than call latency (docs/PERFORMANCE.md entry
+                    # 24). Default stays per-read; the batched path exists
+                    # for locally-attached devices / many-tiny-read
+                    # workloads where the trade flips.
+                    raw_q.append((raw, path, label_path))
+                    if len(raw_q) >= max(1, seg_batch):
+                        t1 = timer()
+                        segs = self.engine.begin_beam_signal_batch(
+                            [r for r, _, _ in raw_q], stride=self.stride,
+                            sig_wire=self.sig_wire)
+                        stages["dispatch"] += timer() - t1
+                        for s, (_, p_, lp_) in zip(segs, raw_q):
+                            seg_q.append((s, p_, lp_))
+                        raw_q.clear()
+                    # the queued batch provides the lag that hides the
+                    # meta link round-trip
+                    while len(seg_q) >= 2:
                         finish_seg(*seg_q.popleft())
                     while len(pending) >= inflight:
                         pending.popleft().result()
@@ -235,6 +256,15 @@ class PerformanceEvaluator:
                 pending.append(pool.submit(finish, handle, rr))
                 while len(pending) >= inflight:
                     pending.popleft().result()
+            if raw_q:  # tail flush: dispatch the final partial batch
+                t1 = timer()
+                segs = self.engine.begin_beam_signal_batch(
+                    [r for r, _, _ in raw_q], stride=self.stride,
+                    sig_wire=self.sig_wire)
+                stages["dispatch"] += timer() - t1
+                for s, (_, p_, lp_) in zip(segs, raw_q):
+                    seg_q.append((s, p_, lp_))
+                raw_q.clear()
             while seg_q:
                 finish_seg(*seg_q.popleft())
             while pending:

@@ -85,9 +85,15 @@ def compute_tstats_device(raw: jnp.ndarray, w: int, w2: int,
     comb = jnp.maximum(comb, FLT_MIN)
     tstat = jnp.abs(mean2 - mean1) / jnp.sqrt(comb / wf)
 
-    # quick return: t = i + 2 <= 2w (and window2 must fit in the read)
-    S_eff = S if n_valid is None else n_valid
-    live = ((i + 2) > 2 * w)[None, :] & (lo2 >= 0)[None, :] & (lo2 + w <= S_eff)[None, :]
+    # quick return: t = i + 2 <= 2w (and window2 must fit in the read).
+    # n_valid may be a scalar (all reads share a true length) or a [B]
+    # vector (batched segmentation of different-length reads).
+    if n_valid is None:
+        fit = (lo2 + w <= S)[None, :]
+    else:
+        nv = jnp.reshape(jnp.asarray(n_valid), (-1, 1))  # [B,1] or [1,1]
+        fit = lo2[None, :] + w <= nv
+    live = ((i + 2) > 2 * w)[None, :] & (lo2 >= 0)[None, :] & fit
     if w < 2:
         return jnp.zeros_like(tstat)
     return jnp.where(live, tstat, 0.0)
@@ -287,8 +293,12 @@ def peak_scan_device_blocked(
     fired = jnp.moveaxis(fired, 0, -1).reshape(B, P)[:, :S]  # [B, S]
 
     # --- exactness check: warm_end[c] must equal final[c-1] ---
-    S_eff = S if n_valid is None else n_valid
-    need = (jnp.arange(C) * L < S_eff)[None, :]  # blocks whose fires matter
+    # (n_valid scalar or [B]: blocks past a read's true length don't matter)
+    if n_valid is None:
+        need = (jnp.arange(C) * L < S)[None, :]
+    else:
+        nv = jnp.reshape(jnp.asarray(n_valid), (-1, 1))
+        need = (jnp.arange(C) * L)[None, :] < nv  # [B or 1, C]
     ok = jnp.array(True)
     for we, fi in zip(warm_end, final):
         m = we[:, 1:] == fi[:, :-1]
@@ -341,7 +351,8 @@ def detect_boundaries_device(
         fired = peak_scan_device(t1, t2, w1, w2, threshold1, threshold2,
                                  peak_height)
     if n_valid is not None:
-        fired = fired & (jnp.arange(raw.shape[1])[None, :] < n_valid)
+        nv = jnp.reshape(jnp.asarray(n_valid), (-1, 1))
+        fired = fired & (jnp.arange(raw.shape[1])[None, :] < nv)
     return fired
 
 

@@ -268,3 +268,35 @@ def test_sigdev_end_to_end_decode_runs():
     assert np.all(rr[:, 1] > rr[:, 0])
     assert np.all(np.diff(rr[:, 0]) > 0)
     assert rr[:, 1].max() <= raw.size
+
+
+def test_sigdev_batched_segmentation_parity():
+    """begin_beam_signal_batch (K reads, ONE upload + ONE segmentation
+    dispatch, padded to the batch-max bucket) must decode bit-identically
+    to the per-read path — including different-length reads, whose per-read
+    n_valid flows through the t-stats / blocked peak scan / exactness
+    check (the round-5 vector-n_valid plumbing)."""
+    import jax
+
+    from ravvent_tpu.config import ModelConfig
+    from ravvent_tpu.evaluation.basecall import BasecallEngine
+    from ravvent_tpu.models.basecaller import init_basecaller
+
+    rng = np.random.default_rng(5)
+    mcfg = ModelConfig(enc_units=8, dec_units=8, encoder_depth=1,
+                      decoder_depth=1, rnn_type="bilstm", data_type="joint")
+    params = init_basecaller(jax.random.PRNGKey(0), mcfg)
+    eng = BasecallEngine(params, mcfg, chunk_size=512)
+    raws = [synth(rng, n // 9) for n in (3000, 5200, 1400)]
+
+    singles = []
+    for r in raws:
+        h = eng.finish_beam_signal(eng.begin_beam_signal(r),
+                                   max_output_len=32, beam_width=2)
+        singles.append(eng.collect_beam_compact(h))
+    segs = eng.begin_beam_signal_batch(raws)
+    for (t1, p1), seg in zip(singles, segs):
+        h = eng.finish_beam_signal(seg, max_output_len=32, beam_width=2)
+        t2, p2 = eng.collect_beam_compact(h)
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_array_equal(p1, p2)
