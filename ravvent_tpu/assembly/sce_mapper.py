@@ -345,8 +345,21 @@ def map_identity(pred_seq: str, ref_seq: str, **kw) -> Dict:
     for qs, qe in sorted((c.q_start, c.q_end) for c in chains):
         cov += max(0, qe - max(qs, cov_end))
         cov_end = max(cov_end, qe)
-    if (sum(c.block_len for c in chains) == 0
-            or cov < 0.5 * len(pred_seq)):
+    tot_matches = sum(c.matches for c in chains)
+    tot_block = sum(c.block_len for c in chains)
+    chain_id = tot_matches / tot_block if tot_block else 0.0
+    if (tot_block == 0
+            or cov < 0.5 * len(pred_seq)
+            # a chained identity at/below the random-alignment band (~0.53
+            # under this score set) is as suspect as low coverage: on
+            # periodic genomes seed chains lock onto the wrong phase and
+            # grade a ~0.97 read at ~0.4 (round-5 find, ref45 cross), and
+            # at the 4096 rung mid-quality reads chain below their true
+            # identity. The rescue stage is exact-DP and oracle-validated
+            # (tests/test_mapper_decliff.py), so re-grading through it
+            # moves the number TOWARD the truth; adoption still requires
+            # strictly more matching bases.
+            or chain_id < 0.55):
         # seed-free exact-DP rescue on both strands; adopted only when it
         # finds strictly more matching bases than the seeded chains
         fwd = rescue_map(pred_seq, ref_seq)

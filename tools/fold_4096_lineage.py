@@ -24,7 +24,11 @@ EXTENSIONS = [("ref4096d", "joint"), ("ref4096draw", "raw")]
 # Round-4 re-evaluations of the SAME checkpoints under the de-cliffed
 # mapper (tools/run_r4 enqueues tag ref4096r4; see assembly/sce_mapper
 # rescue stage): identity cells update, checkpoint provenance unchanged.
-# Applied AFTER EXTENSIONS so the re-measured numbers win.
+# HISTORICAL — these are round-4 reference-fold numbers; applying them
+# after a round-5+ regeneration would overwrite fresher arbitrated-fold
+# evals (it did, once — the gate below exists so the mistake cannot
+# recur). Enable only with --r4-reevals when reconstructing the round-4
+# state.
 # (source tag, modality, checkpoint provenance tag)
 REEVALS = [
     ("ref4096r4", "joint", "ref4096d"),
@@ -106,6 +110,11 @@ def fold_per_read(rdir: Path, src_tag: str, dst_tag: str, mod: str) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results-dir", default="results/ref_sweep")
+    ap.add_argument("--r4-reevals", action="store_true",
+                    help="ALSO apply the historical round-4 ref4096r4 "
+                         "re-evaluations (reference-fold numbers) — only "
+                         "for reconstructing the round-4 state; they would "
+                         "overwrite newer arbitrated-fold evals")
     args = ap.parse_args()
     rdir = Path(args.results_dir)
     for src_tag, mod in EXTENSIONS:
@@ -113,13 +122,14 @@ def main():
         fold_aggregate(rdir, src_tag + "cross", "ref4096ccross", mod)
         fold_token(rdir, src_tag, "ref4096c", mod)
         fold_per_read(rdir, src_tag, "ref4096c", mod)
-    # round-4 mapper re-evaluations of the same checkpoints (identity cells
-    # only; token accuracy is mapper-independent and stays as-is)
-    for src_tag, mod, prov in REEVALS:
-        fold_aggregate(rdir, src_tag, "ref4096c", mod, provenance=prov)
-        fold_aggregate(rdir, src_tag + "cross", "ref4096ccross", mod,
-                       provenance=prov)
-        fold_per_read(rdir, src_tag, "ref4096c", mod)
+    if args.r4_reevals:
+        # round-4 mapper re-evaluations of the same checkpoints (identity
+        # cells only; token accuracy is mapper-independent and stays as-is)
+        for src_tag, mod, prov in REEVALS:
+            fold_aggregate(rdir, src_tag, "ref4096c", mod, provenance=prov)
+            fold_aggregate(rdir, src_tag + "cross", "ref4096ccross", mod,
+                           provenance=prov)
+            fold_per_read(rdir, src_tag, "ref4096c", mod)
 
 
 if __name__ == "__main__":
