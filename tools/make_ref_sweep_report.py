@@ -351,6 +351,11 @@ def main():
           "  val-style below) shift-penalize every position after a single",
           "  greedy insertion or deletion, which alignment-based identity and",
           "  teacher-forced accuracy both forgive.",
+          "- Merge fold: geometry-arbitrated + length-constrained splice —",
+          "  the round-5 default (`Merger()`); every identity cell below was",
+          "  evaluated under it (fold development: results/ARBITRATION.md;",
+          "  `--reference-fold` restores the reference's union-fold",
+          "  semantics bit-for-bit).",
           "- Mapping identity uses the built-in seed-chain-extend local mapper",
           "  (`sce`; minimap2 is not installable here). Unmapped reads count 0,",
           "  like the reference aggregation (ravvent_mapping_evaluator.py:152-167).",
@@ -376,15 +381,19 @@ def main():
           "  exported identity-best checkpoint, with the tf-stage peaks noted",
           "  below it. A fresh random full-vocab genome offers no LM gradient,",
           "  so from scratch the task pins at the unigram plateau — the",
-          "  2048-warm-start is load-bearing. Beam-1 at 4096 stays at/near",
-          "  zero across checkpoints for a structural reason: per-snippet",
-          "  beam-1 accuracy at this difficulty is too low for the 25-base",
-          "  junction alignments, so the merge fold degenerates toward",
-          "  concatenation (measured: 15.0kb prediction for a 7.7kb read —",
-          "  ~2x; capping the decode bound doesn't change it) and the mapper",
-          "  correctly scores the result as chance-level. Beam-5 survives",
-          "  (same checkpoint: identity 53.9, 0% invalid) because its",
-          "  per-snippet sequences stay above the junction-alignment floor.",
+          "  2048-warm-start is load-bearing. History of the beam-1 4096",
+          "  cells: through round 4 they sat at/near zero because the",
+          "  reference merge fold's union splice degenerates toward",
+          "  concatenation at low per-snippet accuracy (measured: 15.0kb",
+          "  prediction for a 7.7kb read — ~2x) and the mapper correctly",
+          "  scored the result as chance-level. The round-5 record fold",
+          "  (geometry arbitration + length-constrained splice,",
+          "  results/ARBITRATION.md) bounds the splice damage at snippet",
+          "  quality instead of zero: beam-1 raw/joint now grade ~58-60",
+          "  with 0% invalid. The residual weak cell is event at beam 1",
+          "  (the weakest channel at the hardest rung — see the",
+          "  joint-vs-raw investigation in docs/TRAINING.md for why the",
+          "  simulated event channel trails raw).",
           "",
           "## Token test accuracy (teacher-forced) vs the reference curve",
           "",
