@@ -187,7 +187,16 @@ def main():
         "round after a full-matrix re-evaluation under arbitration.",
         "",
     ]
-    (REPO / "results/ARBITRATION.md").write_text("\n".join(md))
+    out = REPO / "results/ARBITRATION.md"
+    if out.exists() and "Round 5:" in out.read_text():
+        # the committed report gained hand-maintained round-5 sections
+        # (default flip + length-constrained splice); regenerating the
+        # round-4 study tables would silently delete them
+        raise SystemExit(
+            "refusing to overwrite results/ARBITRATION.md: it contains the "
+            "hand-maintained round-5 sections. Write elsewhere and merge "
+            "manually if the round-4 study tables must be regenerated.")
+    out.write_text("\n".join(md))
     print("wrote results/ARBITRATION.md")
     return 0
 
