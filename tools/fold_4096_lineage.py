@@ -19,7 +19,15 @@ import shutil
 from pathlib import Path
 
 # (source tag, modality) -> folded into ref4096c cells of that modality
-EXTENSIONS = [("ref4096d", "joint"), ("ref4096draw", "raw")]
+# ref4096ed48 (round 5): the event channel retrained on the 4/8
+# detector re-fit for this rung (checkpoints/diag/ref4096_event_ed48;
+# STAGES4 warm-anneal from the ed48 (3,2) base) — beam-1 event
+# 17.1-at-66.7%-invalid -> 48.9-at-16.7%. Mirrors the reference's own
+# practice of re-fitting ED params offline per dataset (utils.py:100
+# used 5/13). The token-accuracy table keeps the 6/9 lineage (no ed48
+# token job; tf-metric comparisons stay single-detector).
+EXTENSIONS = [("ref4096d", "joint"), ("ref4096draw", "raw"),
+              ("ref4096ed48", "event")]
 
 # Round-4 re-evaluations of the SAME checkpoints under the de-cliffed
 # mapper (tools/run_r4 enqueues tag ref4096r4; see assembly/sce_mapper

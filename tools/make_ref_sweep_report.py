@@ -282,8 +282,11 @@ def provenance_notes(results_dir: Path, tags: dict) -> str:
             if rest:
                 parts += f"; {', '.join(rest)} <- `{tag}`"
             notes.append(
-                f"- {v} row (`{tag}` files) mixes checkpoints of the same "
-                f"warm-start chain: {parts} (extended-anneal exports folded "
+                f"- {v} row (`{tag}` files) mixes checkpoints: {parts} "
+                f"(joint/raw are extended-anneal exports of one warm-start "
+                f"chain; `ref4096ed48` is the event channel retrained on "
+                f"the per-rung 4/8 detector re-fit — docs/TRAINING.md; "
+                f"folded "
                 "by tools/fold_4096_lineage.py; originals retained under "
                 "their own tags).")
     if not notes:
@@ -390,10 +393,14 @@ def main():
           "  (geometry arbitration + length-constrained splice,",
           "  results/ARBITRATION.md) bounds the splice damage at snippet",
           "  quality instead of zero: beam-1 raw/joint now grade ~58-60",
-          "  with 0% invalid. The residual weak cell is event at beam 1",
-          "  (the weakest channel at the hardest rung — see the",
-          "  joint-vs-raw investigation in docs/TRAINING.md for why the",
-          "  simulated event channel trails raw).",
+          "  with 0% invalid. The event channel additionally needed a",
+          "  per-rung detector re-fit (4/8 windows, RAVVENT_ED_W1/W2 —",
+          "  the reference's own pipeline re-fit ED params offline per",
+          "  dataset, utils.py:100 used 5/13): the 6/9 event model's",
+          "  beam-1 cell was 17.1 at 66.7% invalid; the re-fit chain",
+          "  (checkpoints/diag/ref4096_event_ed48) grades 48.9 at 16.7%",
+          "  (beam-5 59.4 at 0%). See docs/TRAINING.md for the full",
+          "  event-channel investigation.",
           "",
           "## Token test accuracy (teacher-forced) vs the reference curve",
           "",
