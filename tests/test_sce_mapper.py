@@ -190,3 +190,27 @@ def test_crosscheck_fixtures_self_check():
     _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     cc = importlib.import_module("crosscheck_mapper")
     assert cc.self_check() == 0
+
+
+def test_rescue_triggers_on_low_identity_phase_shifted_chain():
+    """Round-5 de-cliff extension: a seed chain that covers the read but
+    grades at/below the random-alignment band (<0.55) must re-grade
+    through the exact-DP rescue stage. The motivating case: on periodic
+    genomes the chain locks onto the wrong phase and grades a ~0.97 read
+    at ~0.4 (observed on a ref45-cross event read). The trigger must NOT
+    inflate genuinely-bad reads."""
+    import numpy as np
+
+    from ravvent_tpu.assembly import sce_mapper
+
+    unit = "ACGTGA"  # 6-periodic reference
+    ref = unit * 300
+    q = ref[3:1500]  # phase-shifted, near-perfect slice
+    out = sce_mapper.map_identity(q, ref)
+    assert out["identity"] > 0.9, out
+    assert out["stage"] == "rescue"
+
+    rng = np.random.default_rng(0)
+    bad = "".join(rng.choice(list("ACGT"), 800))
+    ob = sce_mapper.map_identity(bad, ref)
+    assert ob["read_length"] == 0 or ob["identity"] < 0.65, ob
