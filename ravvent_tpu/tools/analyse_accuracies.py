@@ -60,7 +60,9 @@ if __name__ == "__main__":
     args = ap.parse_args()
     all_res = collect_results(args.results_dir)
     for name, res in all_res.items():
-        keys = sorted(res.keys())
+        # "_"-prefixed keys are reserved metadata (e.g. _provenance from
+        # tools/fold_4096_lineage.py), not depth configs
+        keys = sorted(k for k in res.keys() if not k.startswith("_"))
         arr = get_np_results(res, keys)
         print(name, keys)
         print(np.round(arr[:, :, 0], 2))
