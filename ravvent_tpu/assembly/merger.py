@@ -81,6 +81,100 @@ def expected_overlaps_from_ranges(
     return ov_samples / spb[1:]
 
 
+def snippet_confidences(flat_probs: np.ndarray, offsets: np.ndarray
+                        ) -> np.ndarray:
+    """Per-snippet decode confidence: mean log step-probability of the
+    emitted bases (flat layout: ``flat_probs`` concatenates the per-base
+    step probabilities row by row; ``offsets`` delimits rows, as produced
+    by ``NucTokenizer.sequences_to_texts_flat``).
+
+    A catastrophically derailed decode (greedy commits a wrong token in
+    the first few steps and free-runs an unrelated sequence) is reliably
+    low-confidence: measured AUC ~0.95 for detecting id<0.7 snippets at
+    beam 1 (tools/diag_conf_vs_id.py, matrix (3,1) raw cell). Empty
+    snippets get confidence 0.0 (they contribute nothing to the fold)."""
+    flat = np.asarray(flat_probs, dtype=np.float64)
+    off = np.asarray(offsets, dtype=np.int64)
+    counts = np.diff(off)
+    lp = np.log(np.clip(flat, 1e-9, 1.0))
+    csum = np.concatenate([[0.0], np.cumsum(lp)])
+    sums = csum[off[1:]] - csum[off[:-1]]
+    return sums / np.maximum(counts, 1)
+
+
+# (rel_gap, abs_floor, max_drop_frac) for confidence_keep_mask — chosen on
+# the (3,1)/(1,1) raw and (2,1) joint matrix cells and no-harm-checked on
+# the saturated ref45 and harsh 4096 regimes (results/CONF_GATE.md)
+CONF_GATE_DEFAULT = (0.12, -0.15, 0.12)
+
+
+def confidence_keep_mask(
+    flat_probs: np.ndarray,
+    offsets: np.ndarray,
+    rel_gap: float = CONF_GATE_DEFAULT[0],
+    abs_floor: float = CONF_GATE_DEFAULT[1],
+    max_drop_frac: float = CONF_GATE_DEFAULT[2],
+) -> np.ndarray:
+    """[N] bool keep-mask over snippets: False marks a snippet the merge
+    fold should drop as a derailed decode.
+
+    A snippet is dropped only when its confidence (``snippet_confidences``,
+    mean log step-prob per emitted base) is BOTH (a) more than ``rel_gap``
+    nats below the read's median — a fixed margin, NOT a MAD multiple: in a
+    uniformly low-quality regime (4096 vocab) the read's spread is tiny and
+    a scale-free outlier rule would fire on ordinary fluctuation, while a
+    derailed decode sits a near-constant ~0.15-0.6 nats/base below its
+    read's median at every quality level — and (b) below the absolute
+    floor ``abs_floor`` (-0.15 ~= mean step-prob 0.86), which keeps the
+    gate quiet on saturated reads where the whole distribution is high.
+    At most ``max_drop_frac`` of the read's snippets are dropped (the
+    lowest-confidence candidates first, never on reads of <4 snippets).
+
+    Rationale: the residual beam-1 deficit after the round-5 fold is
+    catastrophic early-commit derailments — greedy takes a wrong token in
+    the first ~3 steps and free-runs an unrelated sequence (id ~0.3-0.6)
+    that beam-5 decodes near-perfectly. Confidence detects them at AUC
+    ~0.95 (tools/diag_conf_vs_id.py), and the ~80% snippet-window overlap
+    (30-event windows, stride 6) means neighbors cover a dropped span —
+    the junction geometry is recomputed from the surviving raw spans."""
+    conf = snippet_confidences(flat_probs, offsets)
+    n = conf.shape[0]
+    if n < 4:
+        return np.ones(n, bool)
+    med = float(np.median(conf))
+    bad = (conf < med - rel_gap) & (conf < abs_floor)
+    cap = max(1, int(max_drop_frac * n))
+    if bad.sum() > cap:
+        # keep only the `cap` lowest-confidence candidates dropped
+        cand = np.where(bad)[0]
+        worst = cand[np.argsort(conf[cand])][:cap]
+        bad = np.zeros(n, bool)
+        bad[worst] = True
+    return ~bad
+
+
+def drop_snippet_rows(
+    blob: bytes, offsets: np.ndarray, flat_probs: np.ndarray,
+    keep: np.ndarray,
+):
+    """Filter the flat (blob, offsets, flat_probs) snippet layout down to
+    the kept rows. Returns (blob, offsets, flat_probs) unchanged (same
+    objects) when every row is kept."""
+    if keep.all():
+        return blob, offsets, flat_probs
+    off = np.asarray(offsets, dtype=np.int64)
+    starts, ends = off[:-1], off[1:]
+    idx = np.where(keep)[0]
+    new_blob = b"".join(blob[starts[i]:ends[i]] for i in idx)
+    lens = (ends - starts)[idx]
+    new_off = np.zeros(len(idx) + 1, dtype=off.dtype)
+    np.cumsum(lens, out=new_off[1:])
+    flat = np.asarray(flat_probs)
+    new_flat = (np.concatenate([flat[starts[i]:ends[i]] for i in idx])
+                if idx.size else flat[:0])
+    return new_blob, new_off, new_flat
+
+
 class SingleMergerByLogits:
     """Column-wise overlap resolution: higher score wins; gaps are filled
     from the other sequence (reference: merger.py:83-119)."""

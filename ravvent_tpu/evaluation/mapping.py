@@ -53,6 +53,7 @@ class MappingEvaluator:
         use_minimap2: Optional[bool] = None,
         wire: str = "compact",
         geom_arbitration="default",
+        conf_gate="default",
     ) -> None:
         # geom_arbitration: merge-fold geometry gate (see
         # assembly.merger.Merger). "default" follows the Merger default
@@ -61,6 +62,16 @@ class MappingEvaluator:
         # pass None explicitly for bit-parity with the reference fold.
         if geom_arbitration == "default":
             geom_arbitration = Merger.DEFAULT_GEOM_ARBITRATION
+        # conf_gate: (rel_k, abs_floor, max_drop_frac) for dropping derailed
+        # low-confidence snippets before the fold (see
+        # assembly.merger.confidence_keep_mask; results/CONF_GATE.md). None
+        # disables (every decoded snippet enters the fold, reference
+        # behavior); "default" follows merger.CONF_GATE_DEFAULT.
+        if conf_gate == "default":
+            from ravvent_tpu.assembly.merger import CONF_GATE_DEFAULT
+
+            conf_gate = CONF_GATE_DEFAULT
+        self.conf_gate = conf_gate
         self.merger = Merger(scores_id=merger_scores_id,
                              geom_arbitration=geom_arbitration)
         self.stride = stride
@@ -114,10 +125,33 @@ class MappingEvaluator:
         # sequence merge fix; see assembly.merger.expected_overlaps_from_ranges)
         from ravvent_tpu.assembly.merger import expected_overlaps_from_ranges
 
+        flat = probs[prefix]
+        blob, offsets, flat, rr = self._apply_conf_gate(blob, offsets, flat, rr)
+        counts = np.diff(offsets)
         eo = (expected_overlaps_from_ranges(rr, counts)
               if rr.shape[0] > 1 else None)
-        return self.merger.merge_flat(blob, offsets, probs[prefix],
+        return self.merger.merge_flat(blob, offsets, flat,
                                       expected_overlaps=eo)
+
+    def _apply_conf_gate(self, blob, offsets, flat, rr):
+        """Drop derailed (low-confidence) snippets before the merge fold
+        (assembly.merger.confidence_keep_mask). Label-free: uses only the
+        decode's own step probabilities; the ~80% snippet-window overlap
+        means neighbors cover the dropped span and the junction geometry is
+        recomputed from the surviving raw spans."""
+        if self.conf_gate is None or offsets.size <= 2:
+            return blob, offsets, flat, rr
+        from ravvent_tpu.assembly.merger import (
+            confidence_keep_mask, drop_snippet_rows,
+        )
+
+        keep = confidence_keep_mask(flat, offsets, *self.conf_gate)
+        if keep.all():
+            return blob, offsets, flat, rr
+        blob, offsets, flat = drop_snippet_rows(blob, offsets, flat, keep)
+        if rr is not None and rr.shape[0] == keep.shape[0]:
+            rr = rr[keep]
+        return blob, offsets, flat, rr
 
     def _select_beams(self, tokens, probs, rr):
         """Pick one beam per snippet by junction overlap agreement (Viterbi;
@@ -181,10 +215,15 @@ class MappingEvaluator:
         # positional prior + geometry arbitration as the compact path
         from ravvent_tpu.assembly.merger import expected_overlaps_from_ranges
 
+        flat = probs[prefix]
+        if rr_dev is not None and rr_dev.shape[0] == counts.shape[0]:
+            blob, offsets, flat, rr_dev = self._apply_conf_gate(
+                blob, offsets, flat, rr_dev)
+            counts = np.diff(offsets)
         eo = (expected_overlaps_from_ranges(rr_dev, counts)
               if rr_dev is not None and rr_dev.shape[0] > 1
               and rr_dev.shape[0] == counts.shape[0] else None)
-        return self.merger.merge_flat(blob, offsets, probs[prefix],
+        return self.merger.merge_flat(blob, offsets, flat,
                                       expected_overlaps=eo)
 
     def run(self, signal_data_source, chunk_size: int = 1024) -> Dict:

@@ -35,8 +35,17 @@ class PerformanceEvaluator:
         beam_width: int = 5,
         cache_dir: Optional[str] = None,
         wire: str = "compact",
+        conf_gate="default",
     ) -> None:
         self.merger = Merger(scores_id=merger_scores_id)
+        # drop derailed low-confidence snippets before the fold, same rule
+        # as the identity path (assembly.merger.confidence_keep_mask) so the
+        # timed workload matches what production merges
+        if conf_gate == "default":
+            from ravvent_tpu.assembly.merger import CONF_GATE_DEFAULT
+
+            conf_gate = CONF_GATE_DEFAULT
+        self.conf_gate = conf_gate
         self.stride = stride
         self.engine = engine
         self.beam_width = beam_width
@@ -83,6 +92,8 @@ class PerformanceEvaluator:
 
         start = timer()
         if rr.shape[0]:
+            blob, offsets, flat_probs, rr = self._gate(
+                blob, offsets, flat_probs, rr)
             eo = (expected_overlaps_from_ranges(rr, np.diff(offsets))
                   if rr.shape[0] > 1 else None)
             self.merger.merge_flat(blob, offsets, flat_probs,
@@ -106,6 +117,24 @@ class PerformanceEvaluator:
         max_output_len = int((nuc != 0).sum(axis=1).max()) if rr.shape[0] else 2
         return self.engine.dispatch_beam_compact(
             sig, rr, ev, er, max_output_len, self.beam_width, aux=aux)
+
+    def _gate(self, blob, offsets, flat_probs, rr):
+        """Confidence gate over the flat snippet layout (see
+        assembly.merger.confidence_keep_mask); no-op when disabled or when
+        nothing trips the gate."""
+        if self.conf_gate is None or offsets.size <= 2:
+            return blob, offsets, flat_probs, rr
+        from ravvent_tpu.assembly.merger import (
+            confidence_keep_mask, drop_snippet_rows,
+        )
+
+        keep = confidence_keep_mask(flat_probs, offsets, *self.conf_gate)
+        if not keep.all():
+            blob, offsets, flat_probs = drop_snippet_rows(
+                blob, offsets, flat_probs, keep)
+            if rr is not None and rr.shape[0] == keep.shape[0]:
+                rr = rr[keep]
+        return blob, offsets, flat_probs, rr
 
     @staticmethod
     def _postprocess(tokens, probs):
@@ -167,6 +196,9 @@ class PerformanceEvaluator:
                 blob, offsets, flat_probs = self._postprocess(tokens, probs)
                 t2 = timer()
                 add_stage("postproc", t2 - t1)
+                if rr_h is not None and rr_h.shape[0] == offsets.size - 1:
+                    blob, offsets, flat_probs, rr_h = self._gate(
+                        blob, offsets, flat_probs, rr_h)
                 eo = (expected_overlaps_from_ranges(rr_h, np.diff(offsets))
                       if rr_h is not None and rr_h.shape[0] > 1
                       and rr_h.shape[0] == offsets.size - 1 else None)

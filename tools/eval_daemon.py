@@ -69,6 +69,8 @@ def run_job(job: dict) -> bool:
             cmd += ["--geom-arbitration", str(job["geom_arbitration"])]
         if job.get("reference_fold"):
             cmd += ["--reference-fold"]
+        if job.get("no_conf_gate"):
+            cmd += ["--no-conf-gate"]
         for spec in job["evals"]:
             cmd += ["--eval", spec]
     if BACKEND == "cpu":

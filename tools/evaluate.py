@@ -66,6 +66,11 @@ def main():
                     help="fetch the top-K beams per snippet and select by "
                          "junction overlap agreement before merging (phase "
                          "fix for periodic genomes; K=1 = reference flow)")
+    ap.add_argument("--no-conf-gate", action="store_true",
+                    help="disable the confidence gate (derailed-snippet "
+                         "drop before the fold; assembly.merger."
+                         "confidence_keep_mask). Implied by "
+                         "--reference-fold.")
     args = ap.parse_args()
 
     from ravvent_tpu.config import ModelConfig
@@ -112,8 +117,12 @@ def main():
             ga = (None if args.reference_fold
                   else args.geom_arbitration if args.geom_arbitration is not None
                   else "default")
+            # --reference-fold promises bit-parity with the reference merge
+            # semantics, so it also disables the confidence gate
+            cg = (None if args.no_conf_gate or args.reference_fold
+                  else "default")
             ev = MappingEvaluator(engine, beam_width=beam, cache_dir=cache,
-                                  geom_arbitration=ga)
+                                  geom_arbitration=ga, conf_gate=cg)
             res_path = out_dir / (
                 f"mapping_evaluator_results.{tag}.{args.data_type}."
                 f"encd{args.encoder_depth}.decd{args.decoder_depth}.beam{beam}.json"

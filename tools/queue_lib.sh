@@ -18,7 +18,7 @@ import json, sys
 args = sys.argv[1:]
 opt = {"encd": "2", "decd": "1", "rnn": "bilstm", "beams": "5,1",
        "n_beams": None, "geom_arbitration": None, "reference_fold": False,
-       "round": None,
+       "no_conf_gate": False, "round": None,
        "token": False, "token_only": False, "cross": True}
 i = 0
 while i < len(args):
@@ -31,6 +31,8 @@ while i < len(args):
         opt["cross"] = False; i += 1; continue
     if a == "--reference-fold":
         opt["reference_fold"] = True; i += 1; continue
+    if a == "--no-conf-gate":
+        opt["no_conf_gate"] = True; i += 1; continue
     key = a.lstrip("-").replace("-", "_")
     opt[key] = args[i + 1]
     i += 2
@@ -47,6 +49,8 @@ if opt["geom_arbitration"]:
     base["geom_arbitration"] = float(opt["geom_arbitration"])
 if opt["reference_fold"]:
     base["reference_fold"] = True
+if opt["no_conf_gate"]:
+    base["no_conf_gate"] = True
 if opt["round"]:  # salt: changes the manifest-line hash so an identical
     base["round"] = int(opt["round"])  # job can be re-run in a later round
 
