@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--pack-u8", action=argparse.BooleanOptionalAction, default=True,
                     help="nibble-pack tokens + u8-quantize step probs (2x less download)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-conf-gate", action="store_true",
+                    help="keep every decoded snippet in the merge fold "
+                         "(disable the derailed-snippet confidence gate; "
+                         "results/CONF_GATE.md)")
     args = ap.parse_args()
 
     from ravvent_tpu.config import ModelConfig
@@ -109,9 +113,29 @@ def main():
             tokens, probs = engine.predict_beam_compact(sig, rr, ev, er, 40, args.beam)
             seqs = engine.tokens_to_sequences(tokens)
             probs = np.asarray(probs, dtype=np.float64)
-            merged = merger.merge_arrays(
-                seqs, [p[: len(s)] for s, p in zip(seqs, probs)]
+            rows = [p[: len(s)] for s, p in zip(seqs, probs)]
+            # production fold inputs: positional prior from the snippet
+            # raw-span geometry + the round-5b confidence gate (derailed
+            # low-confidence snippets dropped; results/CONF_GATE.md)
+            lens = np.array([len(s) for s in seqs], dtype=np.int64)
+            keep = np.ones(len(seqs), bool)
+            if not args.no_conf_gate and len(seqs) > 1:
+                from ravvent_tpu.assembly.merger import confidence_keep_mask
+
+                offsets = np.concatenate([[0], np.cumsum(lens)])
+                flat = (np.concatenate(rows) if rows
+                        else np.zeros(0, np.float64))
+                keep = confidence_keep_mask(flat, offsets)
+            from ravvent_tpu.assembly.merger import (
+                expected_overlaps_from_ranges,
             )
+
+            seqs_k = [s for s, k in zip(seqs, keep) if k]
+            rows_k = [r for r, k in zip(rows, keep) if k]
+            eo = (expected_overlaps_from_ranges(rr[keep], lens[keep])
+                  if keep.sum() > 1 else None)
+            merged = merger.merge_arrays(seqs_k, rows_k,
+                                         expected_overlaps=eo)
             n_bases += len(merged.seq)
             if args.format == "fasta":
                 out.write(f">{name}\n{merged.seq}\n")
