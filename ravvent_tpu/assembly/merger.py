@@ -114,6 +114,7 @@ def confidence_keep_mask(
     rel_gap: float = CONF_GATE_DEFAULT[0],
     abs_floor: float = CONF_GATE_DEFAULT[1],
     max_drop_frac: float = CONF_GATE_DEFAULT[2],
+    max_consecutive: int | None = None,
 ) -> np.ndarray:
     """[N] bool keep-mask over snippets: False marks a snippet the merge
     fold should drop as a derailed decode.
@@ -150,6 +151,29 @@ def confidence_keep_mask(
         worst = cand[np.argsort(conf[cand])][:cap]
         bad = np.zeros(n, bool)
         bad[worst] = True
+    if max_consecutive is not None:
+        # coverage constraint in its native form: a run of k consecutive
+        # dropped snippets leaves windows i-1 and i+k overlapping
+        # 30 - 6*(k+1) events, so runs of <= max_consecutive keep the
+        # junction geometrically bridgeable; longer runs keep their
+        # highest-confidence members back until the run is short enough
+        i = 0
+        while i < n:
+            if not bad[i]:
+                i += 1
+                continue
+            j = i
+            while j < n and bad[j]:
+                j += 1
+            run = np.arange(i, j)
+            if len(run) > max_consecutive:
+                # keep back every (max_consecutive+1)-th member (run
+                # indices mc, 2mc+1, ...): splits the run into sub-runs of
+                # exactly <= max_consecutive with kept separators
+                sep = run[np.arange(len(run)) % (max_consecutive + 1)
+                          == max_consecutive]
+                bad[sep] = False
+            i = j
     return ~bad
 
 

@@ -91,6 +91,24 @@ def test_keep_mask_cap_keeps_worst_dropped_first():
     assert set(dropped) == {16, 15}  # p=0.40 (idx 16) and p=0.45 (idx 15)
 
 
+def test_keep_mask_max_consecutive_splits_runs():
+    # a long run of derailed snippets is thinned so no more than
+    # max_consecutive consecutive drops remain (coverage constraint: the
+    # windows flanking a <=mc-run still overlap)
+    rows = [[0.95] * 20] * 15 + [[0.5] * 20] * 10 + [[0.95] * 20] * 15
+    flat, off = _flat(rows)
+    keep = confidence_keep_mask(flat, off, 0.12, -0.15, 0.9,
+                                max_consecutive=3)
+    bad = ~keep
+    assert bad.sum() == 8  # 10-run thinned to 3/3/2 with 2 separators
+    run = 0
+    for b in bad:
+        run = run + 1 if b else 0
+        assert run <= 3
+    # healthy snippets are never touched
+    assert keep[:15].all() and keep[25:].all()
+
+
 def test_keep_mask_tiny_read_untouched():
     flat, off = _flat([[0.9] * 5, [0.2] * 5, [0.9] * 5])
     keep = confidence_keep_mask(flat, off, *CONF_GATE_DEFAULT)

@@ -72,15 +72,14 @@ def main():
     ev_map = MappingEvaluator(engine, cache_dir=args.cache_dir)
     merger = Merger()
 
-    # gate grid: (rel_gap, abs_floor, max_drop_frac) for
-    # confidence_keep_mask; None = baseline
+    # gate grid: (rel_gap, abs_floor, max_drop_frac[, max_consecutive])
+    # for confidence_keep_mask; None = baseline
     grid = [None,
-            (0.10, -0.15, 0.12),
             (0.12, -0.15, 0.12),
-            (0.15, -0.15, 0.12),
-            (0.20, -0.15, 0.12),
-            (0.12, -0.15, 0.08),
-            (0.12, -0.12, 0.15)]
+            (0.12, -0.15, 0.20, 2),
+            (0.12, -0.15, 0.25, 2),
+            (0.10, -0.15, 0.25, 2),
+            (0.12, -0.15, 0.30, 3)]
 
     beams = [int(b) for b in args.beams.split(",")]
     fi = json.load(open(args.files_info))[: args.reads]
@@ -108,7 +107,8 @@ def main():
 
     results = {}
     for g in grid:
-        key = "baseline" if g is None else f"k{g[0]}_f{g[1]}_c{g[2]}"
+        key = ("baseline" if g is None
+               else "g" + "_".join(str(x) for x in g))
         per_beam = {b: [] for b in beams}
         drop_fracs = []
         for d in decoded:

@@ -66,9 +66,10 @@ def main():
           "",
           "Each type trained from scratch with the identical default curriculum",
           "on the anchored ref2048 set (reference's committed 2048-6-mer genome,",
-          "noisy rung, held-out test reads; identity under the round-5 record",
-          "merge fold — geometry arbitration + length-constrained splice,",
-          "results/ARBITRATION.md). Reference values are its hard-coded",
+          "noisy rung, held-out test reads; identity under the round-5b record",
+          "merge fold — geometry arbitration + length-constrained splice",
+          "(results/ARBITRATION.md) + confidence gate (results/CONF_GATE.md),",
+          "regenerated in the round-5b TPU pass). Reference values are its hard-coded",
           "reduced-simulator results (make_plots.py:113-153) — different signal",
           "generator and training budget, drawn for orientation.",
           "",

@@ -355,10 +355,15 @@ def main():
           "  greedy insertion or deletion, which alignment-based identity and",
           "  teacher-forced accuracy both forgive.",
           "- Merge fold: geometry-arbitrated + length-constrained splice —",
-          "  the round-5 default (`Merger()`); every identity cell below was",
-          "  evaluated under it (fold development: results/ARBITRATION.md;",
-          "  `--reference-fold` restores the reference's union-fold",
-          "  semantics bit-for-bit).",
+          "  the round-5 default (`Merger()`; fold development:",
+          "  results/ARBITRATION.md; `--reference-fold` restores the",
+          "  reference's union-fold semantics bit-for-bit) — plus the",
+          "  round-5b confidence gate (derailed low-confidence snippets",
+          "  dropped before the fold; results/CONF_GATE.md,",
+          "  `--no-conf-gate` to disable). Every identity cell below was",
+          "  regenerated under this fold in one round-5b TPU pass",
+          "  (tools/run_r5b_sweep_tpu.sh, production engine defaults;",
+          "  earlier tables were CPU-backend f32).",
           "- Mapping identity uses the built-in seed-chain-extend local mapper",
           "  (`sce`; minimap2 is not installable here). Unmapped reads count 0,",
           "  like the reference aggregation (ravvent_mapping_evaluator.py:152-167).",
