@@ -403,8 +403,9 @@ def main():
           "  the reference's own pipeline re-fit ED params offline per",
           "  dataset, utils.py:100 used 5/13): the 6/9 event model's",
           "  beam-1 cell was 17.1 at 66.7% invalid; the re-fit chain",
-          "  (checkpoints/diag/ref4096_event_ed48) grades 48.9 at 16.7%",
-          "  (beam-5 59.4 at 0%). See docs/TRAINING.md for the full",
+          "  (checkpoints/diag/ref4096_event_ed48) grades 57.2 at 0%",
+          "  under the round-5b gated fold (beam-5 60.1 at 0%; was",
+          "  48.9-at-16.7% pre-gate). See docs/TRAINING.md for the full",
           "  event-channel investigation.",
           "",
           "## Token test accuracy (teacher-forced) vs the reference curve",
