@@ -161,6 +161,37 @@ def test_gated_merge_removes_garbage_snippet():
     assert ungated.seq != read
 
 
+def test_performance_evaluator_gate_plumbing():
+    """The timed workload gates identically to the identity path, and
+    rr filters alongside the rows."""
+    from ravvent_tpu.evaluation.performance import PerformanceEvaluator
+
+    pe = PerformanceEvaluator.__new__(PerformanceEvaluator)
+    pe.conf_gate = CONF_GATE_DEFAULT
+    rows = [[0.95] * 10 for _ in range(9)] + [[0.4] * 10]
+    blob = b"A" * 100
+    flat, off = _flat(rows)
+    rr = np.arange(20, dtype=float).reshape(10, 2)
+    b2, o2, f2, r2 = pe._gate(blob, off, flat, rr)
+    assert o2.size == 10 and r2.shape == (9, 2) and len(b2) == 90
+
+    pe.conf_gate = None
+    b3, o3, f3, r3 = pe._gate(blob, off, flat, rr)
+    assert b3 is blob and o3 is off and f3 is flat and r3 is rr
+
+
+def test_evaluate_cli_reference_fold_implies_no_gate():
+    """--reference-fold promises bit-parity with the reference merge
+    semantics, so the evaluate CLI must disable the gate with it (the
+    implication lives in tools/evaluate.py's evaluator construction)."""
+    import re
+    from pathlib import Path
+
+    src = (Path(__file__).resolve().parents[1] / "tools"
+           / "evaluate.py").read_text()
+    assert re.search(r"args\.no_conf_gate or args\.reference_fold", src)
+
+
 def test_mapping_evaluator_gate_plumbing():
     """conf_gate=None leaves the layout untouched; the default gate drops
     the garbage row and filters rr alongside."""
