@@ -76,10 +76,7 @@ def main():
     # for confidence_keep_mask; None = baseline
     grid = [None,
             (0.12, -0.15, 0.12),
-            (0.12, -0.15, 0.20, 2),
-            (0.12, -0.15, 0.25, 2),
-            (0.10, -0.15, 0.25, 2),
-            (0.12, -0.15, 0.30, 3)]
+            (0.12, -0.15, 0.25, 2)]
 
     beams = [int(b) for b in args.beams.split(",")]
     fi = json.load(open(args.files_info))[: args.reads]
