@@ -71,6 +71,11 @@ def main():
                          "drop before the fold; assembly.merger."
                          "confidence_keep_mask). Implied by "
                          "--reference-fold.")
+    ap.add_argument("--conf-gate", default=None,
+                    help="override the gate parameters: "
+                         "'rel_gap,abs_floor,max_drop_frac[,max_consecutive]' "
+                         "(e.g. '0.12,-0.15,0.25,2'); default follows "
+                         "merger.CONF_GATE_DEFAULT")
     args = ap.parse_args()
 
     from ravvent_tpu.config import ModelConfig
@@ -119,8 +124,15 @@ def main():
                   else "default")
             # --reference-fold promises bit-parity with the reference merge
             # semantics, so it also disables the confidence gate
-            cg = (None if args.no_conf_gate or args.reference_fold
-                  else "default")
+            if args.no_conf_gate or args.reference_fold:
+                cg = None
+            elif args.conf_gate:
+                parts = [float(x) for x in args.conf_gate.split(",")]
+                if len(parts) == 4:
+                    parts[3] = int(parts[3])
+                cg = tuple(parts)
+            else:
+                cg = "default"
             ev = MappingEvaluator(engine, beam_width=beam, cache_dir=cache,
                                   geom_arbitration=ga, conf_gate=cg)
             res_path = out_dir / (
