@@ -120,12 +120,15 @@ def main():
             lens = np.array([len(s) for s in seqs], dtype=np.int64)
             keep = np.ones(len(seqs), bool)
             if not args.no_conf_gate and len(seqs) > 1:
-                from ravvent_tpu.assembly.merger import confidence_keep_mask
+                from ravvent_tpu.assembly.merger import (
+                    CONF_GATE_DEFAULT, confidence_keep_mask,
+                )
 
                 offsets = np.concatenate([[0], np.cumsum(lens)])
                 flat = (np.concatenate(rows) if rows
                         else np.zeros(0, np.float64))
-                keep = confidence_keep_mask(flat, offsets)
+                keep = confidence_keep_mask(flat, offsets,
+                                            *CONF_GATE_DEFAULT)
             from ravvent_tpu.assembly.merger import (
                 expected_overlaps_from_ranges,
             )
